@@ -1,0 +1,186 @@
+"""Run configuration.
+
+Mirrors the flat key->value parameter schema of the reference driver
+(``main.cc:66-192`` ``struct Parameters`` + ``ParameterHandler`` JSON
+parsing) so the reference's ``input/*.json`` files can be consumed
+directly.  Unknown keys are tolerated (simulation cases re-parse the same
+file for their own keys, like ``simulation.cc:233-289``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from typing import Any
+
+
+def _load_json(file_name: str) -> dict:
+    """Parse a (slightly lenient) JSON parameter file."""
+    with open(file_name) as f:
+        text = f.read()
+    # tolerate trailing commas, which hand-edited configs sometimes have
+    text = re.sub(r",(\s*[}\]])", r"\1", text)
+    return json.loads(text)
+
+
+@dataclasses.dataclass
+class GMGParameters:
+    """GMG knobs (reference ``multigrid.h:24-57`` PreconditionerGMGAdditionalData)."""
+
+    output_details: bool = False
+    compute_evs_n_levels: int = 0
+
+    # smoother (relaxation + point Jacobi)
+    smoothing_range: float = 20.0
+    smoothing_n_iterations: int = 5
+    smoothing_eig_cg_n_iterations: int = 20
+
+    # coarse-grid solver type: AMG|ILU|direct|identity
+    coarse_grid_solver: str = "AMG"
+    coarse_grid_iterate: bool = True
+
+    # coarse-grid GMRES
+    coarse_grid_gmres_maxiter: int = 10000
+    coarse_grid_gmres_abstol: float = 1e-20
+    coarse_grid_gmres_reltol: float = 1e-4
+
+    _KEYMAP = {
+        "gmg output details": "output_details",
+        "gmg compute evs n levels": "compute_evs_n_levels",
+        "gmg smoothing n iterations": "smoothing_n_iterations",
+        "gmg coarse grid solver": "coarse_grid_solver",
+        "gmg coarse grid iterate": "coarse_grid_iterate",
+        "gmg coarse grid gmres reltol": "coarse_grid_gmres_reltol",
+    }
+
+
+@dataclasses.dataclass
+class Parameters:
+    """Full parameter set (reference ``main.cc:66-192``)."""
+
+    # system
+    dim: int = 2
+    fe_degree: int = 1
+    mapping_degree: int = 1
+    n_global_refinements: int = 0
+    mg_use_fe_q_iso_q1: bool = False
+
+    # simulation
+    simulation_name: str = "channel"
+
+    # time stepping
+    dt: float = 0.0
+    cfl: float = 0.1
+    t_final: float = 3.0
+    theta: float = 0.5
+    bdf_order: int = 1
+    time_integration: str = "theta"  # bdf|theta|none ("time intration" in ref)
+
+    # NSE-GLS parameters
+    nu: float = 0.1
+    c_1: float = 4.0
+    c_2: float = 2.0
+    consider_time_derivative: bool = False
+    cell_wise_stabilization: bool = True
+
+    # implementation of operator evaluation
+    use_matrix_free_ns_operator: bool = True
+
+    # linear solver: GMRES|direct|Richardson
+    linear_solver: str = "GMRES"
+    lin_n_max_iterations: int = 10000
+    lin_absolute_tolerance: float = 1e-12
+    lin_relative_tolerance: float = 1e-8
+
+    # preconditioner: AMG|GMG|ILU|GMG-LS
+    preconditioner: str = "ILU"
+    gmg: GMGParameters = dataclasses.field(default_factory=GMGParameters)
+    gmg_constraint_coarse_pressure_dof: bool = False
+
+    # nonlinear solver: linearized|Picard|Newton
+    nonlinear_solver: str = "linearized"
+    newton_inexact: bool = False
+
+    # output
+    paraview_prefix: str = "results"
+    output_granularity: float = 0.0
+
+    # TPU-native extensions (not in the reference)
+    precision: str = "f64"          # f64|f32 outer solve dtype
+    mg_precision: str = "f32"       # MG level dtype (ref: MGNumber=float)
+    n_devices: int = 1              # device-mesh size for cell sharding
+    checkpoint_prefix: str = ""     # orbax-style checkpointing (new, §5.4)
+    checkpoint_granularity: float = 0.0
+
+    # everything else from the file (simulation-specific keys etc.)
+    extra: dict = dataclasses.field(default_factory=dict)
+
+    _KEYMAP = {
+        "dim": "dim",
+        "fe degree": "fe_degree",
+        "mapping degree": "mapping_degree",
+        "n global refinements": "n_global_refinements",
+        "gmg coarse grid use fe q iso q1": "mg_use_fe_q_iso_q1",
+        "simulation name": "simulation_name",
+        "dt": "dt",
+        "cfl": "cfl",
+        "t final": "t_final",
+        "theta": "theta",
+        "bdf order": "bdf_order",
+        "time intration": "time_integration",  # sic, reference key
+        "time integration": "time_integration",
+        "nu": "nu",
+        "c1": "c_1",
+        "c2": "c_2",
+        "consider time derivative": "consider_time_derivative",
+        "cell wise stabilization": "cell_wise_stabilization",
+        "use matrix free ns operator": "use_matrix_free_ns_operator",
+        "linear solver": "linear_solver",
+        "lin n max iterations": "lin_n_max_iterations",
+        "lin absolute tolerance": "lin_absolute_tolerance",
+        "lin relative tolerance": "lin_relative_tolerance",
+        "preconditioner": "preconditioner",
+        "gmg constraint coarse pressure dof": "gmg_constraint_coarse_pressure_dof",
+        "nonlinear solver": "nonlinear_solver",
+        "newton inexact": "newton_inexact",
+        "paraview prefix": "paraview_prefix",
+        "output granularity": "output_granularity",
+        "precision": "precision",
+        "mg precision": "mg_precision",
+        "n devices": "n_devices",
+        "checkpoint prefix": "checkpoint_prefix",
+        "checkpoint granularity": "checkpoint_granularity",
+    }
+
+    @classmethod
+    def from_file(cls, file_name: str) -> "Parameters":
+        return cls.from_dict(_load_json(file_name)) if file_name else cls()
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "Parameters":
+        p = cls()
+        for key, value in raw.items():
+            if key in cls._KEYMAP:
+                field = cls._KEYMAP[key]
+                cur = getattr(p, field)
+                setattr(p, field, type(cur)(value) if cur is not None else value)
+            elif key in GMGParameters._KEYMAP:
+                field = GMGParameters._KEYMAP[key]
+                cur = getattr(p.gmg, field)
+                setattr(p.gmg, field, type(cur)(value))
+            else:
+                p.extra[key] = value
+        return p
+
+    @property
+    def dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.float64 if self.precision == "f64" else jnp.float32
+
+    @property
+    def mg_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.float64 if self.mg_precision == "f64" else jnp.float32

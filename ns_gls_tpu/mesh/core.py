@@ -1,0 +1,486 @@
+"""Host-side unstructured quad/hex mesh (numpy).
+
+The TPU-native analogue of the mesh layer the reference gets from
+deal.II/p4est (``parallel::distributed::Triangulation``): meshes are built
+and refined on the host, then compiled into *padded SoA element batches*
+(gather maps + geometry factors) for the device.  See SURVEY.md §7.
+
+Conventions
+-----------
+- Cell vertices are stored lexicographically (x fastest): in 2D
+  ``[ (0,0), (1,0), (0,1), (1,1) ]``, in 3D the same with z slowest.
+- Local faces are numbered ``2*d + side`` (d = fixed coordinate).
+- ``boundary_ids[c, f]`` is the boundary id of local face f of cell c,
+  or -1 for interior faces.
+- Curved geometry: ``Manifold`` objects are attached to *edges* (and in 3D
+  *faces*) via sparse dicts keyed by sorted vertex tuples; refinement places
+  new points with the manifold and propagates the attachment to children
+  (deal.II: ``PolarManifold`` / ``CylindricalManifold`` on manifold id 0,
+  reference ``grid_cylinder.h:89-90,189-191``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ns_gls_tpu.fem.element import cell_edge_vertices, cell_face_vertices
+
+
+# --------------------------------------------------------------------------
+# manifolds
+# --------------------------------------------------------------------------
+class Manifold:
+    """Rule for placing new points from existing ones."""
+
+    def new_point(self, points: np.ndarray, weights: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class FlatManifold(Manifold):
+    def new_point(self, points, weights):
+        return weights @ points
+
+
+class PolarManifold(Manifold):
+    """2D polar averaging around `center` (deal.II PolarManifold)."""
+
+    def __init__(self, center=(0.0, 0.0)):
+        self.center = np.asarray(center, dtype=np.float64)
+
+    def new_point(self, points, weights):
+        rel = points - self.center
+        r = np.linalg.norm(rel, axis=-1)
+        theta = np.arctan2(rel[:, 1], rel[:, 0])
+        # unwrap angles around the first point to average on the circle
+        theta = theta[0] + np.angle(np.exp(1j * (theta - theta[0])))
+        r_new = weights @ r
+        t_new = weights @ theta
+        return self.center + r_new * np.array([np.cos(t_new), np.sin(t_new)])
+
+
+class CylindricalManifold(Manifold):
+    """Cylindrical averaging around the z-axis through `center`
+    (deal.II CylindricalManifold with axis e_z)."""
+
+    def __init__(self, center=(0.0, 0.0, 0.0)):
+        self.center = np.asarray(center, dtype=np.float64)
+        self.polar = PolarManifold(self.center[:2])
+
+    def new_point(self, points, weights):
+        xy = self.polar.new_point(points[:, :2], weights)
+        z = weights @ points[:, 2]
+        return np.array([xy[0], xy[1], z])
+
+
+class SphericalManifold(Manifold):
+    """Spherical averaging around `center` (deal.II SphericalManifold)."""
+
+    def __init__(self, center):
+        self.center = np.asarray(center, dtype=np.float64)
+
+    def new_point(self, points, weights):
+        rel = points - self.center
+        r = np.linalg.norm(rel, axis=-1)
+        dirs = rel / r[:, None]
+        d_new = weights @ dirs
+        nrm = np.linalg.norm(d_new)
+        if nrm < 1e-12:
+            return weights @ points
+        return self.center + (weights @ r) * d_new / nrm
+
+
+# --------------------------------------------------------------------------
+# mesh
+# --------------------------------------------------------------------------
+def _ekey(a: int, b: int) -> tuple[int, int]:
+    return (a, b) if a < b else (b, a)
+
+
+def _fkey(vs) -> tuple:
+    return tuple(sorted(int(v) for v in vs))
+
+
+@dataclasses.dataclass
+class Mesh:
+    dim: int
+    vertices: np.ndarray                 # (n_v, dim) float64
+    cells: np.ndarray                    # (n_c, 2**dim) int64
+    boundary_ids: np.ndarray             # (n_c, 2*dim) int32, -1 interior
+    manifolds: dict = dataclasses.field(default_factory=dict)
+    edge_manifold: dict = dataclasses.field(default_factory=dict)
+    face_manifold: dict = dataclasses.field(default_factory=dict)  # 3D only
+    level: int = 0                       # refinement generation
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.cells)
+
+    @property
+    def n_vertices(self) -> int:
+        return len(self.vertices)
+
+    # ---- derived topology -------------------------------------------------
+    def unique_edges(self):
+        """(edges (n_e,2) with v0<v1, cell_edge (n_c, n_edges_per_cell))."""
+        ev = np.array(cell_edge_vertices(self.dim))  # (n_ec, 2)
+        pairs = self.cells[:, ev]                    # (n_c, n_ec, 2)
+        pairs = np.sort(pairs, axis=-1).reshape(-1, 2)
+        edges, inv = np.unique(pairs, axis=0, return_inverse=True)
+        return edges, inv.reshape(self.n_cells, len(ev))
+
+    def unique_faces(self):
+        """3D: (faces (n_f,4) sorted, cell_face (n_c, 6))."""
+        fv = np.array(cell_face_vertices(self.dim))  # (2*dim, 2**(dim-1))
+        quads = self.cells[:, fv]                    # (n_c, 2*dim, 4)
+        quads = np.sort(quads, axis=-1).reshape(-1, 2 ** (self.dim - 1))
+        faces, inv = np.unique(quads, axis=0, return_inverse=True)
+        return faces, inv.reshape(self.n_cells, 2 * self.dim)
+
+    def compute_boundary_faces(self) -> np.ndarray:
+        """(n_bf, 2) array of (cell, local_face) on the boundary; a face is
+        on the boundary iff its sorted vertex set appears exactly once."""
+        fv = np.array(cell_face_vertices(self.dim))
+        quads = np.sort(self.cells[:, fv], axis=-1)  # (n_c, 2*dim, nfv)
+        flat = quads.reshape(-1, quads.shape[-1])
+        _, inv, counts = np.unique(
+            flat, axis=0, return_inverse=True, return_counts=True
+        )
+        is_bdry = counts[inv] == 1
+        c, f = np.nonzero(is_bdry.reshape(self.n_cells, 2 * self.dim))
+        return np.stack([c, f], axis=1)
+
+    def face_centers(self, bf: np.ndarray) -> np.ndarray:
+        fv = np.array(cell_face_vertices(self.dim))
+        verts = self.cells[bf[:, 0][:, None], fv[bf[:, 1]]]
+        return self.vertices[verts].mean(axis=1)
+
+    def set_boundary_ids(self, id_fn) -> None:
+        """Assign boundary ids from a predicate ``id_fn(centers)->ids``
+        evaluated at boundary face centers (mirrors the reference's
+        position-predicate assignment, ``grid_cylinder.h:106-139``)."""
+        bf = self.compute_boundary_faces()
+        ids = id_fn(self.face_centers(bf))
+        self.boundary_ids = np.full(
+            (self.n_cells, 2 * self.dim), -1, dtype=np.int32
+        )
+        self.boundary_ids[bf[:, 0], bf[:, 1]] = ids
+
+    def attach_manifold_to_boundary(self, manifold_id: int, bdry_pred) -> None:
+        """Attach `manifold_id` to all boundary faces whose *center*
+        satisfies `bdry_pred(centers)->bool`, including their edges."""
+        bf = self.compute_boundary_faces()
+        sel = bdry_pred(self.face_centers(bf))
+        fv = np.array(cell_face_vertices(self.dim))
+        for c, f in bf[sel]:
+            verts = self.cells[c, fv[f]]
+            if self.dim == 3:
+                self.face_manifold[_fkey(verts)] = manifold_id
+                # all 4 edges of the quad face (lexicographic face verts:
+                # 0-1, 2-3 (x dir), 0-2, 1-3 (y dir))
+                for a, b in ((0, 1), (2, 3), (0, 2), (1, 3)):
+                    self.edge_manifold[_ekey(verts[a], verts[b])] = manifold_id
+            else:
+                self.edge_manifold[_ekey(verts[0], verts[1])] = manifold_id
+
+    # ---- geometry helpers ---------------------------------------------
+    def cell_min_vertex_distance(self) -> np.ndarray:
+        """Per-cell minimum vertex distance (deal.II
+        ``minimum_vertex_distance``, used for cell-wise delta,
+        reference ``operator_ns.cc:374``)."""
+        ev = np.array(cell_edge_vertices(self.dim))
+        pairs = self.cells[:, ev]
+        d = self.vertices[pairs[..., 0]] - self.vertices[pairs[..., 1]]
+        return np.sqrt((d**2).sum(-1)).min(axis=1)
+
+    def minimal_cell_diameter(self) -> float:
+        """Smallest cell diameter (deal.II ``minimal_cell_diameter``:
+        diameter = largest vertex-pair distance; used for the CFL dt,
+        reference ``main.cc:905``)."""
+        n_cv = 2**self.dim
+        diam2 = np.zeros(self.n_cells)
+        for i in range(n_cv):
+            for j in range(i + 1, n_cv):
+                d = self.vertices[self.cells[:, i]] - self.vertices[self.cells[:, j]]
+                diam2 = np.maximum(diam2, (d**2).sum(-1))
+        return float(np.sqrt(diam2.min()))
+
+    def _midpoint(self, vids: np.ndarray, manifold_id: int | None) -> np.ndarray:
+        pts = self.vertices[vids]
+        w = np.full(len(vids), 1.0 / len(vids))
+        if manifold_id is not None and manifold_id in self.manifolds:
+            return self.manifolds[manifold_id].new_point(pts, w)
+        return w @ pts
+
+    # ---- refinement -----------------------------------------------------
+    def refine(self, flags: np.ndarray | None = None) -> "Mesh":
+        """Refine cells where `flags` is True (default: all). Uniform
+        (isotropic) subdivision into 2**dim children.
+
+        Note: like deal.II, refining a subset produces hanging nodes; the
+        constraint engine handles them.  One-irregularity (at most one
+        hanging level per face) must be ensured by the caller via
+        :func:`smooth_flags`.
+        """
+        if flags is None:
+            flags = np.ones(self.n_cells, dtype=bool)
+        flags = np.asarray(flags, dtype=bool)
+        if self.dim == 2:
+            return self._refine_2d(flags)
+        return self._refine_3d(flags)
+
+    def smooth_flags(self, flags: np.ndarray) -> np.ndarray:
+        """Expand refinement flags until no face has a level jump > 1.
+        (Only relevant for adaptive refinement; global refinement no-op.)"""
+        return flags  # levels are uniform in round-1 meshes
+
+    def _refine_2d(self, flags) -> "Mesh":
+        if not flags.all():
+            raise NotImplementedError(
+                "adaptive refinement (hanging nodes) not yet wired in 2D"
+            )
+        edges, cell_edge = self.unique_edges()
+        n_v, n_e, n_c = self.n_vertices, len(edges), self.n_cells
+
+        # new vertex positions
+        new_pts = np.empty((n_e + n_c, 2))
+        # edge midpoints (flat default, vectorized)
+        new_pts[:n_e] = 0.5 * (
+            self.vertices[edges[:, 0]] + self.vertices[edges[:, 1]]
+        )
+        # curved edges
+        edge_mid_vid = {}
+        if self.edge_manifold:
+            key2idx = {(int(a), int(b)): i for i, (a, b) in enumerate(edges)}
+            for (a, b), mid in self.edge_manifold.items():
+                i = key2idx.get((a, b))
+                if i is not None:
+                    new_pts[i] = self._midpoint(np.array([a, b]), mid)
+                    edge_mid_vid[(a, b)] = n_v + i
+        # cell centers
+        new_pts[n_e:] = self.vertices[self.cells].mean(axis=1)
+
+        vertices = np.vstack([self.vertices, new_pts])
+
+        # parent lattice ids: L[c, i, j] for i,j in 0..2 (x index i)
+        L = np.empty((n_c, 3, 3), dtype=np.int64)
+        L[:, 0, 0] = self.cells[:, 0]
+        L[:, 2, 0] = self.cells[:, 1]
+        L[:, 0, 2] = self.cells[:, 2]
+        L[:, 2, 2] = self.cells[:, 3]
+        # cell_edge order from cell_edge_vertices(2):
+        # e0=(0,1) bottom, e1=(2,3) top, e2=(0,2) left, e3=(1,3) right
+        L[:, 1, 0] = n_v + cell_edge[:, 0]
+        L[:, 1, 2] = n_v + cell_edge[:, 1]
+        L[:, 0, 1] = n_v + cell_edge[:, 2]
+        L[:, 2, 1] = n_v + cell_edge[:, 3]
+        L[:, 1, 1] = n_v + n_e + np.arange(n_c)
+
+        # children, x fastest: child (cx, cy) index = cx + 2*cy
+        cells = np.empty((n_c * 4, 4), dtype=np.int64)
+        bids = np.full((n_c * 4, 4), -1, dtype=np.int32)
+        child = 0
+        for cy in range(2):
+            for cx in range(2):
+                c = cx + 2 * cy
+                cells[c::4] = np.stack(
+                    [
+                        L[:, cx, cy],
+                        L[:, cx + 1, cy],
+                        L[:, cx, cy + 1],
+                        L[:, cx + 1, cy + 1],
+                    ],
+                    axis=1,
+                )
+                # face inheritance: face 0 (x-) if cx==0, 1 (x+) if cx==1,
+                # 2 (y-) if cy==0, 3 (y+) if cy==1
+                if cx == 0:
+                    bids[c::4, 0] = self.boundary_ids[:, 0]
+                else:
+                    bids[c::4, 1] = self.boundary_ids[:, 1]
+                if cy == 0:
+                    bids[c::4, 2] = self.boundary_ids[:, 2]
+                else:
+                    bids[c::4, 3] = self.boundary_ids[:, 3]
+                child += 1
+
+        # manifold inheritance for curved edges
+        new_edge_manifold = {}
+        for (a, b), mid in self.edge_manifold.items():
+            m = edge_mid_vid.get((a, b))
+            if m is None:
+                continue
+            new_edge_manifold[_ekey(a, m)] = mid
+            new_edge_manifold[_ekey(m, b)] = mid
+
+        return Mesh(
+            dim=2,
+            vertices=vertices,
+            cells=cells,
+            boundary_ids=bids,
+            manifolds=self.manifolds,
+            edge_manifold=new_edge_manifold,
+            face_manifold={},
+            level=self.level + 1,
+        )
+
+    def _refine_3d(self, flags) -> "Mesh":
+        if not flags.all():
+            raise NotImplementedError(
+                "adaptive refinement (hanging nodes) not yet wired in 3D"
+            )
+        edges, cell_edge = self.unique_edges()
+        faces, cell_face = self.unique_faces()
+        n_v, n_e, n_f, n_c = self.n_vertices, len(edges), len(faces), self.n_cells
+
+        new_pts = np.empty((n_e + n_f + n_c, 3))
+        new_pts[:n_e] = 0.5 * (
+            self.vertices[edges[:, 0]] + self.vertices[edges[:, 1]]
+        )
+        edge_mid_vid = {}
+        if self.edge_manifold:
+            key2idx = {(int(a), int(b)): i for i, (a, b) in enumerate(edges)}
+            for (a, b), mid in self.edge_manifold.items():
+                i = key2idx.get((a, b))
+                if i is not None:
+                    new_pts[i] = self._midpoint(np.array([a, b]), mid)
+                    edge_mid_vid[(a, b)] = n_v + i
+        new_pts[n_e : n_e + n_f] = self.vertices[faces].mean(axis=1)
+        face_mid_vid = {}
+        if self.face_manifold:
+            fkey2idx = {tuple(int(v) for v in f): i for i, f in enumerate(faces)}
+            for key, mid in self.face_manifold.items():
+                i = fkey2idx.get(key)
+                if i is not None:
+                    new_pts[n_e + i] = self._midpoint(np.array(key), mid)
+                    face_mid_vid[key] = n_v + n_e + i
+        new_pts[n_e + n_f :] = self.vertices[self.cells].mean(axis=1)
+
+        vertices = np.vstack([self.vertices, new_pts])
+
+        # parent lattice L[c, i, j, k], i,j,k in 0..2
+        L = np.empty((n_c, 3, 3, 3), dtype=np.int64)
+        # corners (lexicographic cell vertices, x fastest)
+        for vz in range(2):
+            for vy in range(2):
+                for vx in range(2):
+                    v = vx + 2 * vy + 4 * vz
+                    L[:, 2 * vx, 2 * vy, 2 * vz] = self.cells[:, v]
+        # edges: cell_edge_vertices(3) ordering: dir x: 4 edges (combos of
+        # (y,z) x-fastest over others list), then dir y, then dir z.
+        ev = cell_edge_vertices(3)
+        for e_idx, (va, vb) in enumerate(ev):
+            # lattice coords of edge midpoint: average of the two vertex
+            # lattice coords
+            ca = np.array([(va >> 0) & 1, (va >> 1) & 1, (va >> 2) & 1]) * 2
+            cb = np.array([(vb >> 0) & 1, (vb >> 1) & 1, (vb >> 2) & 1]) * 2
+            cm = (ca + cb) // 2
+            L[:, cm[0], cm[1], cm[2]] = n_v + cell_edge[:, e_idx]
+        # faces
+        fv = cell_face_vertices(3)
+        for f_idx in range(6):
+            vs = fv[f_idx]
+            cs = np.array(
+                [[(v >> 0) & 1, (v >> 1) & 1, (v >> 2) & 1] for v in vs]
+            ) * 2
+            cm = cs.mean(axis=0).astype(np.int64)
+            L[:, cm[0], cm[1], cm[2]] = n_v + n_e + cell_face[:, f_idx]
+        # center
+        L[:, 1, 1, 1] = n_v + n_e + n_f + np.arange(n_c)
+
+        cells = np.empty((n_c * 8, 8), dtype=np.int64)
+        bids = np.full((n_c * 8, 6), -1, dtype=np.int32)
+        for cz in range(2):
+            for cy in range(2):
+                for cx in range(2):
+                    c = cx + 2 * cy + 4 * cz
+                    vs = []
+                    for dz in range(2):
+                        for dy in range(2):
+                            for dx in range(2):
+                                vs.append(L[:, cx + dx, cy + dy, cz + dz])
+                    cells[c::8] = np.stack(vs, axis=1)
+                    offs = (cx, cy, cz)
+                    for d in range(3):
+                        side = offs[d]
+                        bids[c::8, 2 * d + side] = self.boundary_ids[:, 2 * d + side]
+
+        # manifold inheritance
+        new_edge_manifold = {}
+        for (a, b), mid in self.edge_manifold.items():
+            m = edge_mid_vid.get((a, b))
+            if m is None:
+                continue
+            new_edge_manifold[_ekey(a, m)] = mid
+            new_edge_manifold[_ekey(m, b)] = mid
+        new_face_manifold = {}
+        for key, mid in self.face_manifold.items():
+            fm = face_mid_vid.get(key)
+            if fm is None:
+                continue
+            # the face's 4 corner vertices are key (sorted); its edges:
+            # find the 4 edges of this face that are in edge_manifold...
+            # child subfaces: corner, two adjacent edge mids, face mid.
+            # Rebuild from the edge midpoint dict:
+            k = list(key)
+            # find edge pairs among the 4 corners that have midpoints
+            mids = {}
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    e = _ekey(k[i], k[j])
+                    if e in edge_mid_vid:
+                        mids[(i, j)] = edge_mid_vid[e]
+            if len(mids) != 4:
+                # face had fewer than 4 registered edges; skip children
+                continue
+            # new edges: edge mid -> face mid
+            for em in mids.values():
+                new_edge_manifold[_ekey(em, fm)] = mid
+            # child faces: corner i + its two incident edge mids + face mid
+            incident = {i: [m for (a, b), m in mids.items() if i in (a, b)]
+                        for i in range(4)}
+            for i in range(4):
+                if len(incident[i]) == 2:
+                    new_face_manifold[
+                        _fkey([k[i], incident[i][0], incident[i][1], fm])
+                    ] = mid
+
+        return Mesh(
+            dim=3,
+            vertices=vertices,
+            cells=cells,
+            boundary_ids=bids,
+            manifolds=self.manifolds,
+            edge_manifold=new_edge_manifold,
+            face_manifold=new_face_manifold,
+            level=self.level + 1,
+        )
+
+    def refine_global(self, n: int) -> "Mesh":
+        m = self
+        for _ in range(n):
+            m = m.refine()
+        return m
+
+    # ---- Morton / SFC ordering ------------------------------------------
+    def sfc_order(self) -> np.ndarray:
+        """Cell permutation along a Morton curve of cell centers — the
+        TPU-ingest analogue of p4est's space-filling-curve partition
+        (reference ``main.cc:230-233``; SURVEY §2 parallelism table)."""
+        centers = self.vertices[self.cells].mean(axis=1)
+        lo, hi = centers.min(0), centers.max(0)
+        span = np.where(hi - lo > 0, hi - lo, 1.0)
+        q = ((centers - lo) / span * ((1 << 16) - 1)).astype(np.uint64)
+        code = np.zeros(self.n_cells, dtype=np.uint64)
+        for bit in range(16):
+            for d in range(self.dim):
+                code |= ((q[:, d] >> np.uint64(bit)) & np.uint64(1)) << np.uint64(
+                    bit * self.dim + d
+                )
+        return np.argsort(code, kind="stable")
+
+    def reorder(self, perm: np.ndarray) -> "Mesh":
+        return dataclasses.replace(
+            self, cells=self.cells[perm], boundary_ids=self.boundary_ids[perm]
+        )
