@@ -236,6 +236,7 @@ class FaceBatch:
     jxw: np.ndarray          # (n_bf, n_fq)
     normals: np.ndarray      # (n_bf, n_fq, dim) outward unit normals
     q_points: np.ndarray     # (n_bf, n_fq, dim) physical coordinates
+    jinv: np.ndarray         # (n_bf, n_fq, dim, dim) dxi_r/dx_x at face q-pts
 
 
 class FESpace:
@@ -303,9 +304,23 @@ class FESpace:
         self.cell_measure = self.jxw.sum(axis=1)
 
         # 6) boundary-face batches grouped by local face index
+        self.face_batches: list[FaceBatch] = self.build_face_batches(self.n_q1d)
+
+    def build_face_batches(self, n_q1d: int, boundary_ids=None) -> list:
+        """Boundary-face batches with an n_q1d-per-direction Gauss rule,
+        optionally restricted to given boundary ids (the postprocess
+        functionals use their own fixed rule, like the reference's
+        ``QGauss<dim-1>(3)``, ``simulation.cc:451``)."""
+        from ns_gls_tpu.fem.element import Element
+
+        mesh, dim = self.mesh, self.dim
+        el = Element(dim, self.degree, n_q1d)
         bf = mesh.compute_boundary_faces()
         bids = mesh.boundary_ids[bf[:, 0], bf[:, 1]]
-        self.face_batches: list[FaceBatch] = []
+        if boundary_ids is not None:
+            keep = np.isin(bids, list(boundary_ids))
+            bf, bids = bf[keep], bids[keep]
+        out: list[FaceBatch] = []
         for f in range(2 * dim):
             sel = bf[:, 1] == f
             if not sel.any():
@@ -325,7 +340,7 @@ class FESpace:
             normals = g / gn[..., None]
             jxw_f = detJf * gn * el.face_q_weights[None, :]
             q_phys = np.einsum("qi,cix->cqx", Sf, X)
-            self.face_batches.append(
+            out.append(
                 FaceBatch(
                     local_face=f,
                     cells=cells_f.astype(np.int32),
@@ -333,8 +348,10 @@ class FESpace:
                     jxw=jxw_f,
                     normals=normals,
                     q_points=q_phys,
+                    jinv=Jinv_f,
                 )
             )
+        return out
 
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=None)

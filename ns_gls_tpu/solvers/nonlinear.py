@@ -1,0 +1,128 @@
+"""Nonlinear solvers: Newton (full step, optional inexact preconditioner
+reuse), Picard fixed-point, and single linearized solve.
+
+The TPU equivalent of the reference's callback-decoupled design
+(``solver_nl.{h,cc}``): the solver is wired to the operator / linear
+solver / preconditioner exclusively through injected closures
+(``solver_nl.h:22-34``) — natively JAX-shaped (pure residual /
+Jacobian-apply functions handed to a generic loop).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+
+class NonlinearSolverError(RuntimeError):
+    pass
+
+
+class NonLinearSolverBase:
+    """Callback slots, mirroring ``solver_nl.h:22-34``."""
+
+    setup_jacobian: Callable = None        # (u) -> None
+    setup_preconditioner: Callable = None  # (u) -> None
+    evaluate_rhs: Callable = None          # () -> rhs
+    evaluate_residual: Callable = None     # (u) -> residual
+    solve_with_jacobian: Callable = None   # (rhs) -> delta
+    postprocess: Optional[Callable] = None
+    logger: Optional[Callable] = None
+
+    def _log(self, msg: str):
+        if self.logger:
+            self.logger(msg)
+
+    def solve(self, solution):
+        raise NotImplementedError
+
+
+class NonLinearSolverLinearized(NonLinearSolverBase):
+    """One semi-implicit solve per step (``solver_nl.cc:7-24``)."""
+
+    def solve(self, solution):
+        self.setup_jacobian(solution)
+        rhs = self.evaluate_rhs()
+        self.setup_preconditioner(solution)
+        return self.solve_with_jacobian(rhs)
+
+
+class NonLinearSolverNewton(NonLinearSolverBase):
+    """Full-step Newton, ||R||_2 < tol, <= max_iter iterations; `inexact`
+    freezes the preconditioner after the first iteration
+    (``solver_nl.cc:28-89``)."""
+
+    def __init__(self, inexact: bool = False, tolerance: float = 1e-7,
+                 max_iterations: int = 30):
+        self.inexact = inexact
+        self.tolerance = tolerance
+        self.max_iterations = max_iterations
+        self.last_iterations = 0
+
+    def solve(self, solution):
+        self.setup_jacobian(solution)
+        rhs = self.evaluate_residual(solution)
+        l2 = float(jnp.linalg.norm(rhs.reshape(-1)))
+        it = 0
+        self._log(f"    [N] step {it}; residual = {l2:.6e}")
+
+        while l2 > self.tolerance:
+            if it == 0 or not self.inexact:
+                self.setup_preconditioner(solution)
+            inc = self.solve_with_jacobian(rhs)
+            solution = solution + inc
+            if self.postprocess:
+                self.postprocess(solution)
+            self.setup_jacobian(solution)
+            rhs = self.evaluate_residual(solution)
+            l2 = float(jnp.linalg.norm(rhs.reshape(-1)))
+            it += 1
+            self._log(f"    [N] step {it}; residual = {l2:.6e}")
+            if it > self.max_iterations:
+                raise NonlinearSolverError(
+                    f"Newton iteration did not converge; residual {l2:.3e}"
+                )
+
+        self.last_iterations = it
+        self._log(f"    [N] solved in {it} iterations.")
+        return solution
+
+
+class NonLinearSolverPicard(NonLinearSolverBase):
+    """Fixed-point iteration on the semi-implicit system
+    (``solver_nl.cc:93-136``)."""
+
+    def __init__(self, tolerance: float = 1e-7, max_iterations: int = 30):
+        self.tolerance = tolerance
+        self.max_iterations = max_iterations
+        self.last_iterations = 0
+
+    def solve(self, solution):
+        l2 = 1e10
+        it = 0
+        while l2 > self.tolerance:
+            prev = solution
+            self.setup_jacobian(solution)
+            rhs = self.evaluate_rhs()
+            self.setup_preconditioner(solution)
+            solution = self.solve_with_jacobian(rhs)
+            l2 = float(jnp.linalg.norm((prev - solution).reshape(-1)))
+            it += 1
+            if it > self.max_iterations:
+                raise NonlinearSolverError(
+                    f"Picard iteration did not converge; residual {l2:.3e}"
+                )
+        self.last_iterations = it
+        self._log(f"    [P] solved in {it} iterations.")
+        return solution
+
+
+def make_nonlinear_solver(kind: str, inexact: bool = False) -> NonLinearSolverBase:
+    if kind == "linearized":
+        return NonLinearSolverLinearized()
+    if kind == "Newton":
+        return NonLinearSolverNewton(inexact=inexact)
+    if kind == "Picard":
+        return NonLinearSolverPicard()
+    raise ValueError(f"unknown nonlinear solver '{kind}'")

@@ -1,0 +1,75 @@
+"""Point location + solution evaluation at arbitrary physical points.
+
+Host-side equivalent of the reference's ``RemotePointEvaluation`` usage for
+the pressure-probe functional (``simulation.cc:513-541``): locate the owning
+cell once (Newton-inverting the isoparametric mapping), then each step the
+evaluation is a tiny gather + dot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ns_gls_tpu.fem.element import tabulate_at
+from ns_gls_tpu.fem.space import FESpace
+
+
+def locate_points(space: FESpace, points: np.ndarray, tol: float = 1e-8):
+    """Returns (cells (n_p,), ref_coords (n_p, dim)). Raises if not found."""
+    points = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    dim = space.dim
+    centers = space.map_points.mean(axis=1)  # (n_c, dim)
+    cells_out = np.empty(len(points), dtype=np.int64)
+    refs_out = np.empty((len(points), dim))
+
+    for ip, p in enumerate(points):
+        d2 = ((centers - p) ** 2).sum(axis=1)
+        candidates = np.argsort(d2)[:32]
+        found = False
+        for c in candidates:
+            X = space.map_points[c]  # (n_map_loc, dim)
+            xi = np.full(dim, 0.5)
+            for _ in range(30):
+                S, D = tabulate_at(space.mapping_degree, dim, xi[None, :])
+                x = S[0] @ X                       # (dim,)
+                J = np.einsum("ir,ix->xr", D[0], X)  # dx/dxi
+                r = p - x
+                if np.linalg.norm(r) < tol:
+                    break
+                try:
+                    dxi = np.linalg.solve(J, r)
+                except np.linalg.LinAlgError:
+                    break
+                xi = xi + np.clip(dxi, -0.5, 0.5)
+            if (
+                np.linalg.norm(r) < tol
+                and (xi > -1e-9).all()
+                and (xi < 1 + 1e-9).all()
+            ):
+                cells_out[ip] = c
+                refs_out[ip] = np.clip(xi, 0.0, 1.0)
+                found = True
+                break
+        if not found:
+            raise ValueError(f"point {p} not found in mesh")
+    return cells_out, refs_out
+
+
+class PointEvaluator:
+    """Precompiled evaluation of (dim+1)-component fields at fixed points."""
+
+    def __init__(self, space: FESpace, points):
+        self.space = space
+        cells, refs = locate_points(space, points)
+        # per point: basis values at its reference coords
+        tabs = [
+            tabulate_at(space.degree, space.dim, refs[i : i + 1])[0][0]
+            for i in range(len(cells))
+        ]
+        self.S = np.stack(tabs)                    # (n_p, n_loc)
+        self.nodes = space.cell_nodes[cells]       # (n_p, n_loc)
+
+    def __call__(self, u) -> np.ndarray:
+        """u: (n_nodes, C) -> (n_p, C)."""
+        u_loc = np.asarray(u)[self.nodes]          # (n_p, n_loc, C)
+        return np.einsum("pi,pic->pc", self.S, u_loc)

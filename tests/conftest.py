@@ -1,0 +1,22 @@
+"""Test configuration: run on CPU with 8 virtual devices and fp64.
+
+This is the TPU answer to "test multi-node without a cluster" (SURVEY §4):
+sharding/collective tests run on a virtual CPU mesh; numerics tests run in
+fp64 for tight tolerances.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: repeated test runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
