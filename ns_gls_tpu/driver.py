@@ -1,0 +1,453 @@
+"""Simulation driver: config -> setup -> time loop.
+
+The TPU re-design of the reference ``Driver<dim>`` (``main.cc:199-1052``):
+builds the mesh/space/constraints, the NS operator, the preconditioner
+(GMG hierarchy with per-level operators in reduced precision), linear and
+nonlinear solvers wired through callbacks, then runs the CFL-controlled
+time loop with VTU output and case postprocessing.
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ns_gls_tpu.config import Parameters
+from ns_gls_tpu.fem.constraints import (
+    AffineConstraints,
+    ConstraintArrays,
+    distribute,
+)
+from ns_gls_tpu.fem.space import FESpace
+from ns_gls_tpu.fem.transfer import build_transfer, interpolate_to_coarse
+from ns_gls_tpu.models import make_simulation
+from ns_gls_tpu.ops.navier_stokes import NavierStokesOperator
+from ns_gls_tpu.ops.time_integration import SolutionHistory, make_time_integrator
+from ns_gls_tpu.precond.gmg import PreconditionerGMG
+from ns_gls_tpu.precond.jacobi import PreconditionerIdentity, PreconditionerJacobi
+from ns_gls_tpu.solvers.linear import (
+    LinearSolverDirect,
+    LinearSolverGMRES,
+    LinearSolverRichardson,
+)
+from ns_gls_tpu.solvers.nonlinear import make_nonlinear_solver
+from ns_gls_tpu.utils.timer import timer
+from ns_gls_tpu.utils.logging import get_logger
+
+
+class ConstraintSetBuilder:
+    """Builds the reference's three constraint sets (``main.cc:258-310``):
+    - 'full'          : hom. DBCs + pressure pins + slip + periodic
+    - 'homogeneous'   : full + inhom.-DBC boundaries zeroed
+    - 'inhomogeneous' : full + inhom. DBC values at time t (rebuilt cheaply
+                        each step by swapping the inhom value vector)
+    """
+
+    def __init__(self, space: FESpace, bcs, dtype):
+        self.space = space
+        self.bcs = bcs
+        self.dtype = dtype
+        dim = space.dim
+        self.vel_comps = list(range(dim))
+
+        def build(include_inhom_rows: bool):
+            b = AffineConstraints(space.n_nodes, dim + 1)
+            for bid in bcs.all_homogeneous_dbcs:
+                b.add_dirichlet(space.boundary_nodes([bid]), self.vel_comps)
+            for bid in bcs.all_homogeneous_nbcs:
+                b.add_dirichlet(space.boundary_nodes([bid]), [dim])
+            for bid in bcs.all_slip_bcs:
+                nodes, normals = space.boundary_node_normals([bid])
+                b.add_no_normal_flux(nodes, normals)
+            for b0, b1, direction in bcs.periodic_bcs:
+                na, nb = self._match_periodic(b0, b1, direction)
+                b.add_periodic(na, nb, list(range(dim + 1)))
+            if include_inhom_rows:
+                for bid, _fn in bcs.all_inhomogeneous_dbcs:
+                    b.add_dirichlet(space.boundary_nodes([bid]), self.vel_comps)
+            return b
+
+        self.full = build(False).close(dtype)
+        self.homogeneous = build(True).close(dtype)
+
+        # inhomogeneous: same rows as homogeneous, but remember which rows
+        # belong to which (boundary fn, node, comp) for per-step updates
+        self._inhom_builder = build(True)
+        self._inhom_slots = []  # (fn, row_positions, nodes, comps)
+        rows_sorted = np.asarray(self.homogeneous.rows)
+        for bid, fn in bcs.all_inhomogeneous_dbcs:
+            nodes = space.boundary_nodes([bid])
+            for comp in self.vel_comps:
+                dofs = nodes.astype(np.int64) * (dim + 1) + comp
+                pos = np.searchsorted(rows_sorted, dofs)
+                ok = (pos < len(rows_sorted)) & (rows_sorted[np.minimum(
+                    pos, len(rows_sorted) - 1)] == dofs)
+                self._inhom_slots.append((fn, pos[ok], nodes[ok], comp))
+
+    def _match_periodic(self, b0, b1, direction):
+        sp = self.space
+        na = sp.boundary_nodes([b0])
+        nb = sp.boundary_nodes([b1])
+        key_dims = [d for d in range(sp.dim) if d != direction]
+        tol = max(self.space.mesh.cell_min_vertex_distance().min() / 64, 1e-12)
+
+        def keys(nodes):
+            k = np.round(sp.node_pos[nodes][:, key_dims] / tol).astype(np.int64)
+            return [tuple(row) for row in k]
+
+        map_a = dict(zip(keys(na), na))
+        pa, pb = [], []
+        for k, nb_i in zip(keys(nb), nb):
+            if k in map_a:
+                pa.append(nb_i)   # constrain side b
+                pb.append(map_a[k])
+        return np.array(pa), np.array(pb)
+
+    def inhomogeneous_at(self, t: float) -> ConstraintArrays:
+        """Constraint set with boundary values evaluated at time t
+        (``main.cc:925-942``)."""
+        inhom = np.zeros(self.homogeneous.rows.shape[0])
+        for fn, pos, nodes, comp in self._inhom_slots:
+            fn.set_time(t)
+            inhom[pos] = fn(self.space.node_pos[nodes], comp)
+        return self.homogeneous._replace(
+            inhom=jnp.asarray(inhom, self.dtype)
+        )
+
+
+class Driver:
+    def __init__(self, params: Parameters):
+        self.params = params
+        self.log = get_logger()
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        p = self.params
+        if p.precision == "f64":
+            jax.config.update("jax_enable_x64", True)
+        dtype = p.dtype
+        mg_dtype = p.mg_dtype
+
+        with timer("setup::simulation"):
+            sim = make_simulation(p.simulation_name, p.dim)
+            sim.parse_parameters(p.extra | {"nu": p.nu})
+            self.sim = sim
+            mesh = sim.create_mesh(p.n_global_refinements)
+            self.mesh = mesh
+
+        bcs = sim.get_boundary_descriptor()
+        self.bcs = bcs
+        mapping_degree = sim.mapping_degree(p.fe_degree, p.mapping_degree)
+
+        with timer("setup::space"):
+            space = FESpace(mesh, p.fe_degree, mapping_degree)
+            self.space = space
+        self.log(
+            f"    [I] Number of active cells:    {mesh.n_cells}\n"
+            f"    [I] Global degrees of freedom: {space.n_nodes * (p.dim + 1)}"
+        )
+
+        with timer("setup::constraints"):
+            self.csets = ConstraintSetBuilder(space, bcs, dtype)
+
+        self.time_integrator = make_time_integrator(
+            p.time_integration, p.bdf_order, p.theta
+        )
+
+        increment_form = p.nonlinear_solver == "Newton"
+        nitsche = {
+            bid: fn for bid, fn in bcs.all_outflow_bcs_nitsche.items()
+        }
+
+        with timer("setup::operator"):
+            self.op = NavierStokesOperator(
+                space,
+                self.csets.homogeneous,
+                self.csets.full,
+                nu=p.nu,
+                c_1=p.c_1,
+                c_2=p.c_2,
+                time_integrator=self.time_integrator,
+                consider_time_derivative=p.consider_time_derivative,
+                increment_form=increment_form,
+                cell_wise_stabilization=p.cell_wise_stabilization,
+                outflow_bcs_cut=bcs.all_outflow_bcs_cut,
+                outflow_bcs_nitsche=nitsche,
+                dtype=dtype,
+            )
+            self.op.constraints_inhomogeneous = self.csets.inhomogeneous_at(0.0)
+
+        # ---- preconditioner ------------------------------------------------
+        self.mg_ops = []
+        self.mg_transfers = []
+        with timer("setup::preconditioner"):
+            if p.preconditioner in ("GMG", "GMG-LS"):
+                self._setup_gmg(sim, bcs, mapping_degree, increment_form,
+                                mg_dtype)
+            elif p.preconditioner == "ILU":
+                # round-1: Jacobi stands in for single-level ILU (TODO)
+                self.preconditioner = PreconditionerJacobi(self.op)
+            elif p.preconditioner == "AMG":
+                self.preconditioner = PreconditionerJacobi(self.op)
+            elif p.preconditioner == "identity":
+                self.preconditioner = PreconditionerIdentity()
+            else:
+                raise ValueError(f"unknown preconditioner {p.preconditioner}")
+
+        # ---- linear solver -------------------------------------------------
+        if p.linear_solver == "GMRES":
+            self.linear_solver = LinearSolverGMRES(
+                self.op, self.preconditioner,
+                p.lin_n_max_iterations, p.lin_absolute_tolerance,
+                p.lin_relative_tolerance, logger=self.log,
+            )
+        elif p.linear_solver == "direct":
+            self.linear_solver = LinearSolverDirect(self.op, logger=self.log)
+        elif p.linear_solver == "Richardson":
+            self.linear_solver = LinearSolverRichardson(
+                self.op, self.preconditioner,
+                p.lin_n_max_iterations, p.lin_absolute_tolerance,
+                p.lin_relative_tolerance, logger=self.log,
+            )
+        else:
+            raise ValueError(f"unknown linear solver {p.linear_solver}")
+
+        # ---- nonlinear solver ----------------------------------------------
+        nl = make_nonlinear_solver(p.nonlinear_solver, p.newton_inexact)
+        nl.logger = self.log
+        nl.setup_jacobian = self._setup_jacobian
+        nl.setup_preconditioner = self._setup_preconditioner
+        nl.evaluate_rhs = lambda: self.op.evaluate_rhs()
+        nl.evaluate_residual = lambda u: self.op.evaluate_residual(u)
+        nl.solve_with_jacobian = self._solve_with_jacobian
+        self.nonlinear_solver = nl
+
+        # ---- state ----------------------------------------------------------
+        self.solution = SolutionHistory.zeros(
+            self.time_integrator.order + 1,
+            (space.n_nodes, p.dim + 1),
+            dtype,
+        )
+        self.solution.current = distribute(
+            self.op.constraints_inhomogeneous, self.solution.current
+        )
+        sim.setup_postprocess(space, p.nu)
+
+    # ------------------------------------------------------------------
+    def _setup_gmg(self, sim, bcs, mapping_degree, increment_form, mg_dtype):
+        """Geometric coarsening sequence: level meshes are the uniform
+        refinement generations (``main.cc:396-568``)."""
+        p = self.params
+        meshes = [sim.create_mesh(l) for l in range(p.n_global_refinements)]
+        meshes.append(self.mesh)
+        self.mg_spaces = []
+        self.mg_csets = []
+        self.mg_ops = []
+        for lvl, mesh_l in enumerate(meshes):
+            space_l = (
+                self.space if mesh_l is self.mesh
+                else FESpace(mesh_l, p.fe_degree, mapping_degree)
+            )
+            self.mg_spaces.append(space_l)
+            cs = ConstraintSetBuilder(space_l, bcs, mg_dtype)
+            # level operators use all-homogeneous constraints
+            # (``main.cc:509-529``: same set for all three slots)
+            ca = cs.homogeneous
+            if p.gmg_constraint_coarse_pressure_dof and lvl == 0:
+                ca = self._pin_coarse_pressure(space_l, ca)
+            self.mg_csets.append(ca)
+            op_l = NavierStokesOperator(
+                space_l, ca, ca,
+                nu=p.nu, c_1=p.c_1, c_2=p.c_2,
+                time_integrator=self.time_integrator,
+                consider_time_derivative=p.consider_time_derivative,
+                increment_form=increment_form,
+                cell_wise_stabilization=p.cell_wise_stabilization,
+                outflow_bcs_cut=bcs.all_outflow_bcs_cut,
+                outflow_bcs_nitsche=dict(bcs.all_outflow_bcs_nitsche),
+                dtype=mg_dtype,
+            )
+            op_l.constraints_inhomogeneous = ca
+            self.mg_ops.append(op_l)
+
+        self.mg_transfers = [
+            build_transfer(self.mg_spaces[l], self.mg_spaces[l + 1], mg_dtype)
+            for l in range(len(meshes) - 1)
+        ]
+        self.preconditioner = PreconditionerGMG(
+            self.mg_ops,
+            self.mg_transfers,
+            fine_dtype=p.dtype,
+            mg_dtype=mg_dtype,
+            smoothing_n_iterations=p.gmg.smoothing_n_iterations,
+            smoothing_range=p.gmg.smoothing_range,
+            smoothing_eig_n_iterations=p.gmg.smoothing_eig_cg_n_iterations,
+            coarse_grid_solver=p.gmg.coarse_grid_solver,
+            coarse_grid_iterate=p.gmg.coarse_grid_iterate,
+            coarse_grid_gmres_reltol=p.gmg.coarse_grid_gmres_reltol,
+            logger=self.log if p.gmg.output_details else None,
+        )
+
+    def _pin_coarse_pressure(self, space_l, ca: ConstraintArrays):
+        """Constrain the lowest pressure dof on the coarse level
+        (``main.cc:453-477``)."""
+        dim = space_l.dim
+        dof = 0 * (dim + 1) + dim  # node 0's pressure dof
+        rows = np.asarray(ca.rows)
+        if dof in rows:
+            return ca
+        b = AffineConstraints(space_l.n_nodes, dim + 1)
+        b.add_line(dof)
+        extra = b.close(ca.weights.dtype)
+        import jax.numpy as jnp
+
+        pad = ca.cols.shape[1]
+        return ConstraintArrays(
+            rows=jnp.concatenate([ca.rows, extra.rows]),
+            cols=jnp.concatenate(
+                [ca.cols, jnp.zeros((1, pad), ca.cols.dtype)]
+            ),
+            weights=jnp.concatenate(
+                [ca.weights, jnp.zeros((1, pad), ca.weights.dtype)]
+            ),
+            inhom=jnp.concatenate([ca.inhom, extra.inhom]),
+        )
+
+    # ------------------------------------------------------------------
+    # nonlinear solver callbacks (``main.cc:805-869``)
+    # ------------------------------------------------------------------
+    def _interpolate_to_levels(self, u_fine):
+        """Fine -> all levels via chained solution interpolation
+        (``interpolate_to_mg``, ``main.cc:789-795``)."""
+        out = [None] * len(self.mg_ops)
+        cur = u_fine.astype(self.params.mg_dtype)
+        out[-1] = cur
+        for l in range(len(self.mg_ops) - 2, -1, -1):
+            cur = interpolate_to_coarse(self.mg_transfers[l], cur)
+            out[l] = cur
+        return out
+
+    def _setup_jacobian(self, u):
+        with timer("setup_jacobian"):
+            self.op.set_linearization_point(u)
+
+    def _setup_preconditioner(self, u):
+        with timer("setup_preconditioner"):
+            if self.mg_ops:
+                levels = self._interpolate_to_levels(u)
+                for op_l, u_l in zip(self.mg_ops, levels):
+                    op_l.set_linearization_point(u_l)
+            if hasattr(self.preconditioner, "initialize"):
+                self.preconditioner.initialize()
+            self.linear_solver.initialize()
+
+    def _solve_with_jacobian(self, rhs):
+        from ns_gls_tpu.fem import constraints as cstr
+
+        with timer("solve_with_jacobian"):
+            rhs = cstr.set_zero(self.csets.homogeneous, rhs)
+            dst = self.linear_solver.solve(rhs)
+            return cstr.distribute(self.csets.homogeneous, dst,
+                                   homogeneous=True)
+
+    def _set_previous_solution(self):
+        """(``main.cc:772-803``)"""
+        self.op.set_previous_solution(self.solution)
+        if self.mg_ops and self.time_integrator.order > 0:
+            n_l = len(self.mg_ops)
+            hist_l = [
+                SolutionHistory.zeros(
+                    self.time_integrator.order + 1,
+                    (self.mg_spaces[l].n_nodes, self.params.dim + 1),
+                    self.params.mg_dtype,
+                )
+                for l in range(n_l)
+            ]
+            for i in range(1, self.time_integrator.order + 1):
+                levels = self._interpolate_to_levels(self.solution.vectors[i])
+                for l in range(n_l):
+                    hist_l[l].vectors[i] = levels[l]
+            for l in range(n_l):
+                self.mg_ops[l].set_previous_solution(hist_l[l])
+
+    # ------------------------------------------------------------------
+    def run(self, max_steps: int = 10**9):
+        p = self.params
+        self.setup()
+        t = 0.0
+        counter = 1
+        min_dx = self.mesh.minimal_cell_diameter()
+        records = []
+
+        self._output(t)
+        rec = self.sim.postprocess(t, self.solution.current)
+        if rec:
+            records.append(rec)
+
+        while t < p.t_final and counter <= max_steps:
+            with timer("loop"):
+                u_max = self.op.get_max_u(self.solution.current)
+                dt = (
+                    p.dt
+                    if p.dt != 0.0
+                    else min_dx * p.cfl / max(u_max, self.sim.get_u_max())
+                )
+                self.log(
+                    f"\ncycle\t{counter} at time t = {t:.6g} with delta_t ="
+                    f" {dt:.6g} and u_max = {u_max:.6g}"
+                )
+
+                # time-dependent inhomogeneous DBCs at (old) time t
+                self.op.constraints_inhomogeneous = (
+                    self.csets.inhomogeneous_at(t)
+                )
+                self.time_integrator.update_dt(dt)
+                self.op.invalidate_system()
+                for op_l in self.mg_ops:
+                    op_l.invalidate_system()
+                    op_l.update_weight()
+                self.op.update_weight()
+
+                self.solution.commit()
+                self._set_previous_solution()
+
+                new_u = self.nonlinear_solver.solve(self.solution.current)
+
+                new_u = distribute(self.op.constraints_inhomogeneous, new_u)
+                new_u = distribute(self.csets.full, new_u)
+                self.solution.current = new_u
+
+                norm = float(jnp.linalg.norm(new_u.reshape(-1)))
+                self.log(f"    [S] l2-norm of solution: {norm:.8g}")
+
+                t += dt
+                self._output(t)
+                rec = self.sim.postprocess(t, self.solution.current)
+                if rec:
+                    records.append(rec)
+                counter += 1
+
+                if self.time_integrator.order == 0:
+                    break
+
+        return records
+
+    # ------------------------------------------------------------------
+    _output_counter = 0
+
+    def _output(self, t, force=False):
+        p = self.params
+        if p.output_granularity <= 0 and not force:
+            return
+        if (not force) and (t + 1e-15) < self._output_counter * p.output_granularity:
+            return
+        from ns_gls_tpu.utils.vtu import write_vtu
+
+        fname = f"{p.paraview_prefix}.{self._output_counter}.vtu"
+        with timer("postprocess::vtu"):
+            write_vtu(fname, self.space, np.asarray(self.solution.current))
+        self.log(f"    [O] output VTU ({fname})")
+        self._output_counter += 1

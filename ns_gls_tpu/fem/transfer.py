@@ -34,8 +34,15 @@ class TwoLevelTransfer(NamedTuple):
     # injection/interpolation: coarse node <- fine nodes
     i_cols: jnp.ndarray   # (n_coarse_nodes, n_loc) int32
     i_wts: jnp.ndarray    # (n_coarse_nodes, n_loc)
-    n_coarse: int
-    n_fine: int
+
+    # shapes are static (not pytree leaves) so they stay concrete under jit
+    @property
+    def n_coarse(self) -> int:
+        return self.i_cols.shape[0]
+
+    @property
+    def n_fine(self) -> int:
+        return self.p_cols.shape[0]
 
 
 def build_transfer(coarse: FESpace, fine: FESpace, dtype=jnp.float32
@@ -89,8 +96,6 @@ def build_transfer(coarse: FESpace, fine: FESpace, dtype=jnp.float32
         p_wts=jnp.asarray(p_wts, dtype),
         i_cols=jnp.asarray(i_cols),
         i_wts=jnp.asarray(i_wts, dtype),
-        n_coarse=coarse.n_nodes,
-        n_fine=fine.n_nodes,
     )
 
 

@@ -167,11 +167,22 @@ class Mesh:
         )
         self.boundary_ids[bf[:, 0], bf[:, 1]] = ids
 
+    def attach_manifold_to_boundary_id(self, manifold_id: int,
+                                       boundary_id: int) -> None:
+        """Attach `manifold_id` to all boundary faces carrying the given
+        boundary id (plus their edges)."""
+        bf = self.compute_boundary_faces()
+        sel = self.boundary_ids[bf[:, 0], bf[:, 1]] == boundary_id
+        self._attach_manifold_faces(manifold_id, bf, sel)
+
     def attach_manifold_to_boundary(self, manifold_id: int, bdry_pred) -> None:
         """Attach `manifold_id` to all boundary faces whose *center*
         satisfies `bdry_pred(centers)->bool`, including their edges."""
         bf = self.compute_boundary_faces()
         sel = bdry_pred(self.face_centers(bf))
+        self._attach_manifold_faces(manifold_id, bf, sel)
+
+    def _attach_manifold_faces(self, manifold_id, bf, sel) -> None:
         fv = np.array(cell_face_vertices(self.dim))
         for c, f in bf[sel]:
             verts = self.cells[c, fv[f]]

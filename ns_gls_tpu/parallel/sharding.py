@@ -1,0 +1,212 @@
+"""Multi-chip domain decomposition: cells sharded over a device mesh.
+
+The TPU-native replacement of the reference's p4est/MPI domain
+decomposition (SURVEY §2 parallelism table; ``main.cc:230-235``):
+
+- cells are ordered along a Morton space-filling curve (p4est's partition,
+  ``Mesh.sfc_order``), padded to a multiple of the device count, and the
+  *cell batch axis* is sharded over a 1-D ``jax.sharding.Mesh``,
+- the global node vector is replicated; each device scatter-adds its local
+  cell contributions and a ``psum`` over the mesh axis combines them — the
+  ghost-exchange/compress pattern collapses into one XLA collective on ICI,
+- dot products / norms in the Krylov loop operate on the replicated vector
+  (no collective needed; XLA keeps them local).
+
+This is the "replicated-DoF" parallel strategy (correct, bandwidth-simple);
+a halo-exchange (``ppermute``) node-sharded variant is the planned
+round-2 upgrade for very large meshes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ns_gls_tpu.fem import constraints as cstr
+from ns_gls_tpu.ops.navier_stokes import CellBatch, NavierStokesOperator, NSState
+
+AXIS = "cells"
+
+
+def make_device_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _pad_cells(arr: np.ndarray | jnp.ndarray, n_pad: int, fill=0):
+    if n_pad == 0:
+        return jnp.asarray(arr)
+    pad_width = [(0, n_pad)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(jnp.asarray(arr), pad_width, constant_values=fill)
+
+
+class ShardedOperator:
+    """Wraps a NavierStokesOperator with a cell-sharded apply.
+
+    The batch (geometry + gather maps) and the linearization state are
+    sharded on the leading cell axis; ``vmult``/``residual`` run under
+    ``shard_map`` with a final ``psum``.
+    """
+
+    def __init__(self, op: NavierStokesOperator, mesh: Mesh):
+        self.op = op
+        self.mesh = mesh
+        n_dev = mesh.devices.size
+        n_c = op.space.mesh.n_cells
+        self.n_pad = (-n_c) % n_dev
+
+        b = op.batch
+        batch = CellBatch(
+            S=b.S,
+            D=b.D,
+            jinv=_pad_cells(b.jinv, self.n_pad),
+            jxw=_pad_cells(b.jxw, self.n_pad),
+            cell_nodes=_pad_cells(b.cell_nodes, self.n_pad),
+            h_min_vertex=_pad_cells(b.h_min_vertex, self.n_pad, fill=1),
+            h_q=_pad_cells(b.h_q, self.n_pad, fill=1),
+        )
+        shard = NamedSharding(mesh, P(AXIS))
+        repl = NamedSharding(mesh, P())
+        self.batch = CellBatch(
+            S=jax.device_put(batch.S, repl),
+            D=jax.device_put(batch.D, repl),
+            jinv=jax.device_put(batch.jinv, shard),
+            jxw=jax.device_put(batch.jxw, shard),
+            cell_nodes=jax.device_put(batch.cell_nodes, shard),
+            h_min_vertex=jax.device_put(batch.h_min_vertex, shard),
+            h_q=jax.device_put(batch.h_q, shard),
+        )
+        self._shard = shard
+        self._repl = repl
+        self._build()
+
+    def shard_state(self, state: NSState) -> NSState:
+        """Pad + shard the per-cell linearization tables."""
+        def f(x):
+            return jax.device_put(_pad_cells(x, self.n_pad), self._shard)
+
+        return state._replace(
+            u_star=f(state.u_star),
+            grad_u_star=f(state.grad_u_star),
+            grad_p_star=f(state.grad_p_star),
+            dt_u_old=f(state.dt_u_old),
+            u_old_grad=f(state.u_old_grad),
+            p_old_grad=f(state.p_old_grad),
+            delta1=f(state.delta1),
+            delta2=f(state.delta2),
+            weight=jax.device_put(state.weight, self._repl),
+        )
+
+    def _build(self):
+        op = self.op
+        mesh = self.mesh
+        ch = op.constraints_homogeneous
+        n_nodes, n_comp = op.n_nodes, op.n_comp
+        from jax.experimental.shard_map import shard_map
+
+        from ns_gls_tpu.ops.navier_stokes import fe_evaluate, fe_integrate
+
+        def local_sweep(batch, cq, u_eff, residual_form):
+            u_loc = u_eff[batch.cell_nodes]
+            val, grad = fe_evaluate(batch.S, batch.D, batch.jinv, u_loc)
+            if residual_form or not op.increment_form:
+                val_res, grad_res = op.qpoint_fixed_point(
+                    val, grad, cq, residual=residual_form
+                )
+            else:
+                val_res, grad_res = op.qpoint_increment(val, grad, cq)
+            r_loc = fe_integrate(
+                batch.S, batch.D, batch.jinv, batch.jxw, val_res, grad_res
+            )
+            r = jnp.zeros((n_nodes, n_comp), op.dtype)
+            r = r.at[batch.cell_nodes].add(r_loc)
+            return jax.lax.psum(r, AXIS)
+
+        batch_specs = CellBatch(
+            S=P(), D=P(), jinv=P(AXIS), jxw=P(AXIS), cell_nodes=P(AXIS),
+            h_min_vertex=P(AXIS), h_q=P(AXIS),
+        )
+
+        def state_specs(state):
+            return state._replace(
+                u_star=P(AXIS), grad_u_star=P(AXIS), grad_p_star=P(AXIS),
+                dt_u_old=P(AXIS), u_old_grad=P(AXIS), p_old_grad=P(AXIS),
+                delta1=P(AXIS), delta2=P(AXIS), weight=P(),
+                face_velocity=tuple(P() for _ in state.face_velocity),
+                face_target=tuple(P() for _ in state.face_target),
+            )
+
+        dummy = op.state
+        sspecs = state_specs(dummy)
+
+        def make(residual_form):
+            def cq_of(state):
+                return dict(
+                    weight=state.weight, u_star=state.u_star,
+                    grad_u_star=state.grad_u_star,
+                    grad_p_star=state.grad_p_star,
+                    dt_u_old=state.dt_u_old, u_old_grad=state.u_old_grad,
+                    p_old_grad=state.p_old_grad,
+                    delta1=state.delta1, delta2=state.delta2,
+                )
+
+            sweep = shard_map(
+                lambda batch, state, u: local_sweep(
+                    batch, cq_of(state), u, residual_form
+                ),
+                mesh=mesh,
+                in_specs=(batch_specs, sspecs, P()),
+                out_specs=P(),
+            )
+            return sweep
+
+        sweep_lin = make(False)
+        sweep_res = make(True)
+
+        def vmult_fn(args, u):
+            batch, state = args
+            u_eff = cstr.distribute(ch, u, homogeneous=True)
+            r = sweep_lin(batch, state, u_eff)
+            r = cstr.condense_transpose(ch, r)
+            return cstr.copy_constrained(ch, r, u)
+
+        def residual_fn(args, ca_inhom, u):
+            batch, state = args
+            tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
+            r = sweep_res(batch, state, tmp)
+            return -cstr.set_zero(ch, r)
+
+        self.vmult_pure = vmult_fn
+        self._vmult = jax.jit(vmult_fn)
+        self._residual = jax.jit(residual_fn)
+
+    # ------------------------------------------------------------------
+    @property
+    def vmult_args(self):
+        return (self.batch, self.shard_state(self.op.state))
+
+    def vmult(self, u):
+        return self._vmult(self.vmult_args, u)
+
+    def evaluate_residual(self, u):
+        return self._residual(
+            self.vmult_args, self.op.constraints_inhomogeneous, u
+        )
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+    @property
+    def n_comp(self):
+        return self.op.n_comp
+
+    @property
+    def n_nodes(self):
+        return self.op.n_nodes

@@ -7,7 +7,7 @@ fp64 for tight tolerances.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon sitecustomize pins jax_platforms to the TPU backend; override it
+# AFTER import (env vars alone are ignored once the plugin registered)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: repeated test runs skip XLA recompiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
