@@ -43,8 +43,8 @@ def locate_points(space: FESpace, points: np.ndarray, tol: float = 1e-8):
                 xi = xi + np.clip(dxi, -0.5, 0.5)
             if (
                 np.linalg.norm(r) < tol
-                and (xi > -1e-9).all()
-                and (xi < 1 + 1e-9).all()
+                and (xi > -1e-6).all()
+                and (xi < 1 + 1e-6).all()
             ):
                 cells_out[ip] = c
                 refs_out[ip] = np.clip(xi, 0.0, 1.0)
