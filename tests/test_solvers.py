@@ -1,0 +1,83 @@
+"""Linear solver unit tests: GMRES/Richardson against dense solves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ns_gls_tpu.solvers.linear import gmres, richardson
+
+
+def _random_spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+def test_gmres_solves_spd():
+    n = 50
+    A = jnp.asarray(_random_spd(n))
+    b = jnp.asarray(np.random.default_rng(1).standard_normal(n))
+
+    res = gmres(lambda _, v: A @ v, (), b, jnp.zeros_like(b), tol=1e-10,
+                restart=30, max_restarts=50)
+    x_ref = jnp.linalg.solve(A, b)
+    assert res.converged
+    assert np.allclose(res.x, x_ref, atol=1e-7)
+
+
+def test_gmres_nonsymmetric_restarts():
+    rng = np.random.default_rng(2)
+    n = 80
+    A = jnp.asarray(np.eye(n) * 4.0 + 0.5 * rng.standard_normal((n, n)))
+    b = jnp.asarray(rng.standard_normal(n))
+    res = gmres(lambda _, v: A @ v, (), b, jnp.zeros_like(b), tol=1e-9,
+                restart=20, max_restarts=50)
+    assert res.converged
+    assert np.linalg.norm(A @ res.x - b) < 1e-8
+
+
+def test_gmres_preconditioned_iteration_drop():
+    n = 60
+    A_np = _random_spd(n, 3)
+    A = jnp.asarray(A_np)
+    b = jnp.asarray(np.random.default_rng(4).standard_normal(n))
+    inv_diag = jnp.asarray(1.0 / np.diag(A_np))
+
+    plain = gmres(lambda _, v: A @ v, (), b, jnp.zeros_like(b), tol=1e-8)
+    pc = gmres(lambda _, v: A @ v, (), b, jnp.zeros_like(b),
+               M=lambda d, v: d * v, m_args=inv_diag, tol=1e-8)
+    assert pc.converged
+    # right preconditioning must still solve the original system
+    assert np.linalg.norm(A @ pc.x - b) < 1e-6
+    assert pc.iterations <= plain.iterations
+
+
+def test_gmres_2d_shaped_vectors():
+    n = 30
+    A_np = _random_spd(n, 5)
+    A = jnp.asarray(A_np)
+
+    def op(_, v):
+        return (A @ v.reshape(-1)).reshape(v.shape)
+
+    b = jnp.asarray(
+        np.random.default_rng(6).standard_normal((n // 3, 3))
+    )
+    res = gmres(op, (), b, jnp.zeros_like(b), tol=1e-10)
+    assert res.converged
+    assert res.x.shape == b.shape
+
+
+def test_richardson():
+    n = 40
+    A_np = _random_spd(n, 7)
+    A = jnp.asarray(A_np)
+    b = jnp.asarray(np.random.default_rng(8).standard_normal(n))
+    inv_diag = jnp.asarray(1.0 / np.diag(A_np))
+    res = richardson(
+        lambda _, v: A @ v, (), b, jnp.zeros_like(b),
+        M=lambda d, v: 0.5 * d * v, m_args=inv_diag,
+        tol=1e-8, max_iter=5000,
+    )
+    assert res.converged
+    assert np.linalg.norm(A @ res.x - b) < 1e-7
