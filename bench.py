@@ -77,16 +77,31 @@ def main():
     op, space, u = build(dim, refinements, degree, dtype)
     n_dofs = space.n_nodes * (dim + 1)
 
-    # warm up + compile
-    r = op.vmult(u)
-    jax.block_until_ready(r)
+    # chained applies inside one jit: each iteration consumes the previous
+    # output (normalized to stay finite), so nothing can be overlapped,
+    # CSE'd, or skipped — honest steady-state timing.
+    apply_fn = op.vmult_pure
 
-    n_rep = 10
+    @jax.jit
+    def chain(args, v, n_rep):
+        def body(_, v):
+            w = apply_fn(args, v)
+            return w / jnp.linalg.norm(w.reshape(-1))
+
+        return jax.lax.fori_loop(0, n_rep, body, v)
+
+    args = op.vmult_args
+    u0 = u / jnp.linalg.norm(u.reshape(-1))
+    jax.block_until_ready(chain(args, u0, 2))  # warm up + compile
+
+    n_rep = 30
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        r = op.vmult(u)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / n_rep
+    jax.block_until_ready(chain(args, u0, n_rep))
+    t1 = time.perf_counter()
+    # subtract the loop/normalization overhead via a 1-rep run
+    jax.block_until_ready(chain(args, u0, 1))
+    t2 = time.perf_counter()
+    dt = max((t1 - t0) - (t2 - t1), 1e-9) / (n_rep - 1)
 
     mdofs = n_dofs / dt / 1e6
     sol = roofline_seconds(op, space, dtype)

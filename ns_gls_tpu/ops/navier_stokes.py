@@ -355,10 +355,10 @@ class NavierStokesOperator:
             delta2=state.delta2,
         )
 
-    def _cell_sweep(self, state: NSState, u, residual_form: bool):
+    def _cell_sweep(self, b: CellBatch, state: NSState, u,
+                    residual_form: bool):
         """The hot fused sweep: gather -> evaluate -> physics -> integrate
         -> scatter-add (``do_vmult_range``, ``operator_ns.cc:806-830``)."""
-        b = self.batch
         u_loc = u[b.cell_nodes]  # (n_c, n_loc, C)
         val, grad = fe_evaluate(b.S, b.D, b.jinv, u_loc)
         cq = self._cq(state, residual_form)
@@ -372,13 +372,14 @@ class NavierStokesOperator:
         r = jnp.zeros((self.n_nodes, self.n_comp), self.dtype)
         return r.at[b.cell_nodes].add(r_loc)
 
-    def _boundary_sweep(self, state: NSState, u, r, residual_form: bool):
+    def _boundary_sweep(self, b: CellBatch, faces, state: NSState, u, r,
+                        residual_form: bool):
         """Weak outflow boundary terms (``do_vmult_boundary``,
         ``operator_ns.cc:1195-1301``)."""
         d = self.dim
         nu = self.nu
-        for k, fb in enumerate(self.face_blocks):
-            u_loc = u[self.batch.cell_nodes[fb.cells]]  # (n_bf, n_loc, C)
+        for k, fb in enumerate(faces):
+            u_loc = u[b.cell_nodes[fb.cells]]  # (n_bf, n_loc, C)
             val, grad = fe_evaluate(fb.S, fb.D, fb.jinv, u_loc)
             u_val = val[..., :d]
             u_grad = grad[..., :d, :]
@@ -414,29 +415,37 @@ class NavierStokesOperator:
                 [grad_res_u, jnp.zeros_like(grad[..., d:, :])], axis=-2
             )
             r_loc = fe_integrate(fb.S, fb.D, fb.jinv, fb.jxw, val_res, grad_res)
-            r = r.at[self.batch.cell_nodes[fb.cells]].add(r_loc)
+            r = r.at[b.cell_nodes[fb.cells]].add(r_loc)
         return r
 
     # ------------------------------------------------------------------
     def _build_jitted(self):
+        """All jitted callables take (batch, faces, state) as DYNAMIC args —
+        never as closure constants — so geometry arrays are not baked into
+        the HLO (compile-time killer) and linearization updates never
+        invalidate caches."""
         ch = self.constraints_homogeneous
 
-        def vmult_fn(state, u):
+        def vmult_fn(args, u):
             # matrix-free sandwich: dst = Cᵀ A C u ; dst[constrained] = u
+            batch, faces, state = args
             u_eff = cstr.distribute(ch, u, homogeneous=True)
-            r = self._cell_sweep(state, u_eff, residual_form=False)
+            r = self._cell_sweep(batch, state, u_eff, residual_form=False)
             if self.needs_face_integrals:
-                r = self._boundary_sweep(state, u_eff, r, residual_form=False)
+                r = self._boundary_sweep(batch, faces, state, u_eff, r,
+                                         residual_form=False)
             r = cstr.condense_transpose(ch, r)
             r = cstr.copy_constrained(ch, r, u)
             return r
 
-        def residual_fn(state, ca_inhom, u):
+        def residual_fn(args, ca_inhom, u):
             # (``evaluate_residual``, ``operator_ns.cc:648-682``)
+            batch, faces, state = args
             tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
-            r = self._cell_sweep(state, tmp, residual_form=True)
+            r = self._cell_sweep(batch, state, tmp, residual_form=True)
             if self.needs_face_integrals:
-                r = self._boundary_sweep(state, tmp, r, residual_form=True)
+                r = self._boundary_sweep(batch, faces, state, tmp, r,
+                                         residual_form=True)
             r = cstr.set_zero(ch, r)
             return -r
 
@@ -453,18 +462,22 @@ class NavierStokesOperator:
     # public API (reference OperatorBase contract)
     # ------------------------------------------------------------------
     def vmult(self, u):
-        return self._vmult(self.state, u)
+        return self._vmult(self.vmult_args, u)
 
     @property
     def vmult_args(self):
-        return self.state
+        return (self.batch, self.face_blocks, self.state)
 
     def evaluate_residual(self, u):
-        return self._residual(self.state, self.constraints_inhomogeneous, u)
+        return self._residual(
+            self.vmult_args, self.constraints_inhomogeneous, u
+        )
 
     def evaluate_rhs(self):
         zero = jnp.zeros((self.n_nodes, self.n_comp), self.dtype)
-        return self._residual(self.state, self.constraints_inhomogeneous, zero)
+        return self._residual(
+            self.vmult_args, self.constraints_inhomogeneous, zero
+        )
 
     def invalidate_system(self):
         self._valid_system = False
@@ -473,20 +486,19 @@ class NavierStokesOperator:
         return jnp.zeros((self.n_nodes, self.n_comp), self.dtype)
 
     # -- state updates ---------------------------------------------------
-    def _evaluate_tables(self, u):
-        b = self.batch
+    def _evaluate_tables(self, b: CellBatch, u):
         u_loc = u[b.cell_nodes]
         return fe_evaluate(b.S, b.D, b.jinv, u_loc)
 
-    def _set_linearization_impl(self, state: NSState, u):
-        val, grad = self._evaluate_tables(u)
+    def _set_linearization_impl(self, batch, faces, state: NSState, u):
+        val, grad = self._evaluate_tables(batch, u)
         d = self.dim
         u_star = val[..., :d]
         grad_u_star = grad[..., :d, :]
         grad_p_star = grad[..., d, :]
-        delta1, delta2 = self._penalty_impl(u_star)
+        delta1, delta2 = self._penalty_impl(batch, u_star)
         fvel = tuple(
-            self._face_values(k, u)[..., :d] for k in range(len(self.face_blocks))
+            self._face_values(batch, fb, u)[..., :d] for fb in faces
         )
         return state._replace(
             u_star=u_star,
@@ -497,12 +509,11 @@ class NavierStokesOperator:
             face_velocity=fvel,
         )
 
-    def _face_values(self, k, u):
-        fb = self.face_blocks[k]
-        u_loc = u[self.batch.cell_nodes[fb.cells]]
+    def _face_values(self, batch, fb, u):
+        u_loc = u[batch.cell_nodes[fb.cells]]
         return jnp.einsum("qi,fic->fqc", fb.S, u_loc)
 
-    def _penalty_impl(self, u_star):
+    def _penalty_impl(self, batch, u_star):
         """delta_1/delta_2 (``compute_penalty_parameters``,
         ``operator_ns.cc:357-420``); stau = 1/dt passed via state-free
         closure over the host-side current dt."""
@@ -512,7 +523,7 @@ class NavierStokesOperator:
         u_norm2 = (u_star**2).sum(-1)  # (n_c, n_q)
         if self.cell_wise_stabilization:
             u_max = jnp.sqrt(u_norm2.max(axis=1, keepdims=True))  # (n_c,1)
-            h = self.batch.h_min_vertex[:, None]
+            h = batch.h_min_vertex[:, None]
             d1_adv = c1 / jnp.sqrt(stau**2 + u_max**2 / h**2)
             d2_adv = c2 * h
             d1_visc = c1 * h * h
@@ -521,7 +532,7 @@ class NavierStokesOperator:
             return jnp.where(visc, d1_visc, d1_adv), jnp.where(
                 visc, d2_visc, d2_adv
             )
-        h = self.batch.h_q[:, None]
+        h = batch.h_q[:, None]
         u2 = 1e-12 + u_norm2
         d1 = 1.0 / jnp.sqrt(
             stau**2 + 4.0 * u2 / h**2 + 9.0 * (4.0 * nu / h**2) ** 2
@@ -531,7 +542,9 @@ class NavierStokesOperator:
 
     def set_linearization_point(self, u):
         self._valid_system = False
-        self.state = self._set_lin(self.state, u)
+        self.state = self._set_lin(
+            self.batch, self.face_blocks, self.state, u
+        )
         if self.outflow_bcs_nitsche:
             self._update_face_targets()
 
@@ -561,13 +574,13 @@ class NavierStokesOperator:
             targets.append(jnp.asarray(tgt, self.dtype))
         self.state = self.state._replace(face_target=tuple(targets))
 
-    def _set_previous_impl(self, state: NSState, vec_old, u_old):
+    def _set_previous_impl(self, batch, state: NSState, vec_old, u_old):
         """vec_old = sum_i>=1 w_i u^(n-i); u_old for theta-method tables."""
         d = self.dim
-        val, grad = self._evaluate_tables(vec_old)
+        val, grad = self._evaluate_tables(batch, vec_old)
         new = state._replace(dt_u_old=val[..., :d])
         if self.theta != 1.0:
-            val1, grad1 = self._evaluate_tables(u_old)
+            val1, grad1 = self._evaluate_tables(batch, u_old)
             new = new._replace(
                 u_old_grad=grad1[..., :d, :], p_old_grad=grad1[..., d, :]
             )
@@ -582,7 +595,9 @@ class NavierStokesOperator:
         vec_old = history.weighted_old_sum(
             tuple(jnp.asarray(x, self.dtype) for x in w)
         )
-        self.state = self._set_prev(self.state, vec_old, history.vectors[1])
+        self.state = self._set_prev(
+            self.batch, self.state, vec_old, history.vectors[1]
+        )
         self.state = self.state._replace(
             weight=jnp.asarray(self.time_integrator.primary_weight, self.dtype)
         )
@@ -593,11 +608,12 @@ class NavierStokesOperator:
         )
 
     # -- diagnostics -------------------------------------------------------
-    def _get_max_u_impl(self, u):
-        b = self.batch
+    def _get_max_u_impl(self, b, u):
         u_loc = u[b.cell_nodes][..., : self.dim]
         val = jnp.einsum("qi,eic->eqc", b.S, u_loc)
         return jnp.sqrt((val**2).sum(-1).max())
 
     def get_max_u(self, u) -> float:
-        return float(self._max_u(u))
+        """Max |u| over quadrature points (``operator_ns.cc:530-568``);
+        lowers to a pmax under sharding."""
+        return float(self._max_u(self.batch, u))

@@ -33,7 +33,7 @@ from ns_gls_tpu.fem import transfer as tr
 class GMGArgs(NamedTuple):
     """Dynamic V-cycle inputs (a pytree)."""
 
-    level_states: tuple      # NSState per level (coarse..fine)
+    level_args: tuple        # per level: the operator's vmult_args pytree
     inv_diags: tuple         # (n_nodes_l, C) per level
     omegas: tuple            # () relaxation factor per level
     transfers: tuple         # TwoLevelTransfer per gap (coarse..fine-1)
@@ -90,9 +90,9 @@ class PreconditionerGMG:
         def smooth(args, level, x, b):
             inv_d = args.inv_diags[level]
             om = args.omegas[level]
-            st = args.level_states[level]
+            la = args.level_args[level]
             for _ in range(n_smooth):
-                x = x + om * inv_d * (b - level_fns[level](st, x))
+                x = x + om * inv_d * (b - level_fns[level](la, x))
             return x
 
         def vcycle_level(args, level, b):
@@ -100,7 +100,7 @@ class PreconditionerGMG:
                 return coarse_solve(args, b)
             # pre-smooth from zero initial guess
             x = smooth(args, level, jnp.zeros_like(b), b)
-            d = b - level_fns[level](args.level_states[level], x)
+            d = b - level_fns[level](args.level_args[level], x)
             d_c = tr.restrict(args.transfers[level - 1], d)
             x_c = vcycle_level(args, level - 1, d_c)
             x = x + tr.prolongate(args.transfers[level - 1], x_c)
@@ -118,7 +118,7 @@ class PreconditionerGMG:
         )
 
     # ------------------------------------------------------------------
-    def _estimate_omega_impl(self, state, inv_diag, level: int):
+    def _estimate_omega_impl(self, la, inv_diag, level: int):
         """Power iteration for lambda_max(D^{-1} A); relaxation =
         2 / (lambda_max * (1 + 1/smoothing_range)) — deal.II
         PreconditionRelaxation semantics (``multigrid.cc:281-305``)."""
@@ -129,7 +129,7 @@ class PreconditionerGMG:
 
         def body(_, carry):
             v, lam = carry
-            w = inv_diag * fn(state, v)
+            w = inv_diag * fn(la, v)
             nrm = jnp.linalg.norm(w.reshape(-1))
             return (w / nrm, nrm)
 
@@ -151,7 +151,7 @@ class PreconditionerGMG:
         for lvl, op in enumerate(self.level_ops):
             d = compute_inverse_diagonal(op)
             inv_diags.append(d)
-            omegas.append(self._estimate_omega(op.state, d, lvl))
+            omegas.append(self._estimate_omega(op.vmult_args, d, lvl))
 
         coarse_lu = ()
         if self.coarse_grid_solver in ("direct", "ILU", "AMG"):
@@ -160,7 +160,7 @@ class PreconditionerGMG:
             coarse_lu = (lu, piv)
 
         self._args = GMGArgs(
-            level_states=tuple(op.state for op in self.level_ops),
+            level_args=tuple(op.vmult_args for op in self.level_ops),
             inv_diags=tuple(inv_diags),
             omegas=tuple(omegas),
             transfers=self.transfers,
@@ -178,7 +178,7 @@ class PreconditionerGMG:
         if self._args is None:
             self.initialize()
         return self._args._replace(
-            level_states=tuple(op.state for op in self.level_ops)
+            level_args=tuple(op.vmult_args for op in self.level_ops)
         )
 
     def vmult(self, x):

@@ -72,7 +72,12 @@ def gmres(
     tol = jnp.asarray(tol, dtype)
 
     def cycle(carry):
-        x, total_it, _, _ = carry
+        # each cycle starts from the TRUE residual (recomputed in working
+        # precision), so convergence is gated on truth even when the
+        # preconditioner is noisy (e.g. the f32 MG V-cycle) and the Givens
+        # recursion under-estimates; a stagnation guard stops restarts that
+        # no longer reduce the true residual.
+        x, total_it, prev_beta, _ = carry
         r = bf - mv(x)
         beta = jnp.linalg.norm(r)
 
@@ -141,17 +146,23 @@ def gmres(
         )
         y = jax.scipy.linalg.solve_triangular(Hm, jnp.where(mask, g[:m], 0.0))
         dx = pc(jnp.einsum("i,in->n", jnp.where(mask, y, 0.0), V[:m]))
-        return (x + dx, total_it + j_final, res, res <= tol)
+
+        converged = beta <= tol
+        stagnated = (beta > 0.999 * prev_beta) & (total_it > 0)
+        return (x + dx, total_it + j_final, beta, converged | stagnated)
 
     def outer_cond(carry):
-        _, total_it, res, converged = carry
-        return (~converged) & (total_it < m * max_restarts)
+        _, total_it, _, done = carry
+        return (~done) & (total_it < m * max_restarts)
 
     x0f = x0.reshape(-1)
-    r0n = jnp.linalg.norm(bf - mv(x0f))
-    init = (x0f, jnp.array(0), r0n, r0n <= tol)
-    x, it, res, conv = jax.lax.while_loop(outer_cond, cycle, init)
-    return SolveResult(x.reshape(shape), it, res, conv)
+    inf = jnp.asarray(jnp.inf, dtype)
+    x, it, _, _ = jax.lax.while_loop(
+        outer_cond, cycle, (x0f, jnp.array(0), inf, jnp.array(False))
+    )
+    # final true residual for honest reporting
+    res_final = jnp.linalg.norm(bf - mv(x))
+    return SolveResult(x.reshape(shape), it, res_final, res_final <= tol)
 
 
 @functools.partial(jax.jit, static_argnames=("A", "M", "max_iter"))

@@ -92,6 +92,12 @@ def test_channel_theta_scheme():
             "theta": 0.5,
             "nonlinear solver": "Picard",
             "consider time derivative": False,
+            # Picard iterates to 1e-7 absolute: the inner solves must go
+            # below that, so use an f64 preconditioner (the f32 MG V-cycle
+            # floors the achievable linear residual at ~1e-7*||b||)
+            "lin relative tolerance": 1e-12,
+            "preconditioner": "ILU",
+            "cfl": 0.05,
         },
         max_steps=2,
     )

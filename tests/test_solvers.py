@@ -27,8 +27,9 @@ def test_gmres_solves_spd():
 
 def test_gmres_nonsymmetric_restarts():
     rng = np.random.default_rng(2)
-    n = 80
-    A = jnp.asarray(np.eye(n) * 4.0 + 0.5 * rng.standard_normal((n, n)))
+    n = 64
+    # eigenvalue disk: center 4, radius ~0.3*sqrt(n)=2.4 — safely nonsingular
+    A = jnp.asarray(np.eye(n) * 4.0 + 0.3 * rng.standard_normal((n, n)))
     b = jnp.asarray(rng.standard_normal(n))
     res = gmres(lambda _, v: A @ v, (), b, jnp.zeros_like(b), tol=1e-9,
                 restart=20, max_restarts=50)
