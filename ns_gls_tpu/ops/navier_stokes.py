@@ -87,19 +87,33 @@ class NSState(NamedTuple):
 # --------------------------------------------------------------------------
 # FE evaluate / integrate (shape-agnostic over leading batch dims)
 # --------------------------------------------------------------------------
+def _apply_jinv(t, jinv, sub_in="r", sub_out="x"):
+    """Contract a (..., q, c, r) tensor with jinv (..., q_or_1, r, x).
+    Broadcast-capable over the q axis so *affine-compressed* geometry
+    (jinv stored once per cell, q-extent 1) works transparently."""
+    # (..., q, c, r, 1) * (..., q?, 1, r, x) -> sum over r
+    return (t[..., :, None] * jinv[..., None, :, :]).sum(axis=-2)
+
+
 def fe_evaluate(S, D, jinv, u_loc):
-    """u_loc (..., n_loc, C) -> (val (..., n_q, C), grad (..., n_q, C, d))."""
+    """u_loc (..., n_loc, C) -> (val (..., n_q, C), grad (..., n_q, C, d)).
+
+    jinv may have q-extent 1 (affine cells) or n_q (general)."""
     val = jnp.einsum("qi,...ic->...qc", S, u_loc)
     ref_grad = jnp.einsum("qir,...ic->...qcr", D, u_loc)
-    grad = jnp.einsum("...qcr,...qrx->...qcx", ref_grad, jinv)
+    grad = _apply_jinv(ref_grad, jinv)
     return val, grad
 
 
 def fe_integrate(S, D, jinv, jxw, val_res, grad_res):
     """Adjoint of fe_evaluate with quadrature weights:
-    r_loc[..., i, c] = sum_q S[q,i] val_res*jxw + D[q,i,r] (grad_res.Jinv) jxw."""
+    r_loc[..., i, c] = sum_q S[q,i] val_res*jxw + D[q,i,r] (grad_res.Jinv) jxw.
+
+    jinv q-extent may be 1 (affine); jxw always has full q extent."""
     vr = val_res * jxw[..., None]
-    gr = jnp.einsum("...qcx,...qrx->...qcr", grad_res * jxw[..., None, None], jinv)
+    # gr[..., q, c, r] = sum_x grad_res_w[..., q, c, x] * jinv[..., q?, r, x]
+    gw = grad_res * jxw[..., None, None]
+    gr = (gw[..., :, None, :] * jinv[..., None, :, :]).sum(axis=-1)
     return jnp.einsum("qi,...qc->...ic", S, vr) + jnp.einsum(
         "qir,...qcr->...ic", D, gr
     )
@@ -168,10 +182,22 @@ class NavierStokesOperator:
             h_q = np.sqrt(4.0 * space.cell_measure / np.pi) / degree
         else:
             h_q = np.cbrt(6.0 * space.cell_measure / np.pi) / degree
+
+        # affine-cell geometry compression: when every cell's Jacobian is
+        # constant over quadrature points (parallelepiped cells), store it
+        # once per cell — 1/n_q of the geometry traffic in the hot sweep.
+        jinv_np = space.jinv
+        scale = np.abs(jinv_np).max()
+        self.affine_geometry = bool(
+            np.abs(jinv_np - jinv_np[:, :1]).max() < 1e-12 * scale
+        )
+        if self.affine_geometry:
+            jinv_np = jinv_np[:, :1]
+
         self.batch = CellBatch(
             S=jnp.asarray(S, dtype),
             D=jnp.asarray(D, dtype),
-            jinv=jnp.asarray(space.jinv, dtype),
+            jinv=jnp.asarray(jinv_np, dtype),
             jxw=jnp.asarray(space.jxw, dtype),
             cell_nodes=jnp.asarray(space.cell_nodes),
             h_min_vertex=jnp.asarray(space.cell_h_min_vertex, dtype),
