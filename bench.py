@@ -1,12 +1,16 @@
 """Operator-throughput benchmark — the ``gls-vmult`` equivalent
 (reference ``performance.cc:12-145``): hypercube mesh, Q_degree, BDF-2
-weights, random linearization state; times repeated matrix-free NS vmult
+weights, random linearization state; times chained matrix-free NS vmults
 and reports MDoF/s per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the HBM-roofline model for this apply
-(bytes moved / chip DRAM bandwidth) — i.e. value 0.5 means 50% of
-speed-of-light, the BASELINE.md target for v5e.
+Prints ONE JSON line (the headline matrix-free number):
+  {"metric", "value", "unit", "vs_baseline"}
+vs_baseline = fraction of the HBM-roofline model for this apply (bytes
+moved / v5e DRAM bandwidth); 0.5 == the BASELINE.md ">50% of roofline"
+target.  Secondary lanes (assembled SpMV "mb", vector-Laplace proxy) go
+to stderr with --all, mirroring ``performance.cc:83-142``.
+
+Usage: python bench.py [dim] [refinements] [degree] [--all]
 """
 
 import json
@@ -18,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(dim=3, refinements=5, degree=2, dtype=jnp.float32):
+def build(dim=3, refinements=5, degree=2, dtype=jnp.float32,
+          fuse_tables=True):
     from ns_gls_tpu.fem.constraints import AffineConstraints
     from ns_gls_tpu.fem.space import FESpace
     from ns_gls_tpu.mesh.generators import subdivided_hyper_rectangle
@@ -39,18 +44,39 @@ def build(dim=3, refinements=5, degree=2, dtype=jnp.float32):
         space, ca, ca, nu=0.1, c_1=4.0, c_2=2.0,
         time_integrator=ti, consider_time_derivative=True,
         increment_form=False, cell_wise_stabilization=True, dtype=dtype,
+        fuse_tables=fuse_tables,
     )
     rng = np.random.default_rng(0)
-    u = jnp.asarray(
-        rng.standard_normal((space.n_nodes, C)), dtype
-    )
+    u = jnp.asarray(rng.standard_normal((space.n_nodes, C)), dtype)
     hist = SolutionHistory([u, u * 0.9, u * 0.8])
     op.set_previous_solution(hist)
     op.set_linearization_point(u)
     return op, space, u
 
 
-def roofline_seconds(op, space, dtype) -> float:
+def time_apply(apply_fn, args, u, n_rep=30) -> float:
+    """Honest steady-state seconds/apply: chained applies inside one jit
+    (each iteration consumes the previous, normalized, output)."""
+
+    @jax.jit
+    def chain(args, v, n):
+        def body(_, v):
+            w = apply_fn(args, v)
+            return w / jnp.linalg.norm(w.reshape(-1))
+
+        return jax.lax.fori_loop(0, n, body, v)
+
+    u0 = u / jnp.linalg.norm(u.reshape(-1))
+    np.asarray(chain(args, u0, 2))  # warm up + compile (host fetch = sync)
+    t0 = time.perf_counter()
+    np.asarray(chain(args, u0, n_rep))
+    t1 = time.perf_counter()
+    np.asarray(chain(args, u0, 1))
+    t2 = time.perf_counter()
+    return max((t1 - t0) - (t2 - t1), 1e-9) / (n_rep - 1)
+
+
+def roofline_seconds(op, space, dtype, fused=True) -> float:
     """Bytes moved per apply / HBM bandwidth (v5e: ~819 GB/s)."""
     bs = jnp.dtype(dtype).itemsize
     n_c = space.mesh.n_cells
@@ -59,60 +85,56 @@ def roofline_seconds(op, space, dtype) -> float:
     d = space.dim
     C = d + 1
     n_dofs = space.n_nodes * C
-    state_bytes = n_c * n_q * (d + d * d + d + d + 2) * bs  # u*,grad u*,grad p*,dt_old,deltas
-    geom_bytes = n_c * n_q * (d * d + 1) * bs
+    n_vec_reads = 3 if fused else 1  # u + (u_lin + vec_old | tables)
+    state_bytes = 0 if fused else n_c * n_q * (d + d * d + d + d) * bs
+    delta_bytes = n_c * (1 if op.cell_wise_stabilization else n_q) * 2 * bs
+    geom_q = 1 if op.affine_geometry else n_q
+    geom_bytes = n_c * (geom_q * d * d + n_q) * bs
     gather_bytes = n_c * n_loc * 4
-    vec_bytes = 2 * n_dofs * bs  # read u + write r (gathers hit cache)
-    total = state_bytes + geom_bytes + gather_bytes + vec_bytes
-    BW = 819e9  # v5e HBM bandwidth
+    vec_bytes = (n_vec_reads + 1) * n_dofs * bs
+    total = state_bytes + delta_bytes + geom_bytes + gather_bytes + vec_bytes
+    BW = 819e9
     return total / BW
 
 
 def main():
-    dim = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    refinements = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    degree = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    show_all = "--all" in sys.argv
+    dim = int(args[0]) if len(args) > 0 else 3
+    refinements = int(args[1]) if len(args) > 1 else 5
+    degree = int(args[2]) if len(args) > 2 else 2
     dtype = jnp.float32
 
     op, space, u = build(dim, refinements, degree, dtype)
     n_dofs = space.n_nodes * (dim + 1)
 
-    # chained applies inside one jit: each iteration consumes the previous
-    # output (normalized to stay finite), so nothing can be overlapped,
-    # CSE'd, or skipped — honest steady-state timing.
-    apply_fn = op.vmult_pure
+    dt_mf = time_apply(op.vmult_pure, op.vmult_args, u)
+    mdofs = n_dofs / dt_mf / 1e6
+    frac = roofline_seconds(op, space, dtype) / dt_mf
 
-    @jax.jit
-    def chain(args, v, n_rep):
-        def body(_, v):
-            w = apply_fn(args, v)
-            return w / jnp.linalg.norm(w.reshape(-1))
+    if show_all:
+        # assembled SpMV lane ("ns::vmult::mb", performance.cc:89-95)
+        from ns_gls_tpu.ops.matrix_based import NavierStokesOperatorMatrixBased
 
-        return jax.lax.fori_loop(0, n_rep, body, v)
+        mb = NavierStokesOperatorMatrixBased(op)
+        dt_mb = time_apply(mb.vmult_pure, mb.vmult_args, u)
+        print(
+            f"ns::vmult::mb  {n_dofs / dt_mb / 1e6:10.1f} MDoF/s"
+            f"  ({dt_mb * 1e3:.3f} ms)",
+            file=sys.stderr,
+        )
+        print(
+            f"ns::vmult::mf  {mdofs:10.1f} MDoF/s  ({dt_mf * 1e3:.3f} ms)",
+            file=sys.stderr,
+        )
 
-    args = op.vmult_args
-    u0 = u / jnp.linalg.norm(u.reshape(-1))
-    jax.block_until_ready(chain(args, u0, 2))  # warm up + compile
-
-    n_rep = 30
-    t0 = time.perf_counter()
-    jax.block_until_ready(chain(args, u0, n_rep))
-    t1 = time.perf_counter()
-    # subtract the loop/normalization overhead via a 1-rep run
-    jax.block_until_ready(chain(args, u0, 1))
-    t2 = time.perf_counter()
-    dt = max((t1 - t0) - (t2 - t1), 1e-9) / (n_rep - 1)
-
-    mdofs = n_dofs / dt / 1e6
-    sol = roofline_seconds(op, space, dtype)
-    frac = sol / dt
     print(
         json.dumps(
             {
                 "metric": "ns_vmult_mdof_per_s",
                 "value": round(mdofs, 2),
                 "unit": f"MDoF/s/chip (dim={dim} ref={refinements} Q{degree}, "
-                        f"{n_dofs} dofs, f32)",
+                        f"{n_dofs} dofs, f32, fused+affine)",
                 "vs_baseline": round(frac, 4),
             }
         )

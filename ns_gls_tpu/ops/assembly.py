@@ -37,8 +37,22 @@ def _local_apply(op: NavierStokesOperator):
 
 
 def _cq_cell_tree(op: NavierStokesOperator):
-    """Per-cell pytree of linearization tables (leading axis n_c)."""
+    """Per-cell pytree of linearization tables (leading axis n_c).
+    For fused-mode operators the tables are materialized from the stored
+    vectors (assembly is a cold path, so the extra memory is fine)."""
     s = op.state
+    if op.fuse_tables:
+        cq = op._fused_cq(op.batch, s)
+        n_c = op.space.mesh.n_cells
+        n_q = op.space.element.n_q
+        d = op.dim
+        if cq["u_old_grad"] is None:
+            cq["u_old_grad"] = jnp.zeros((n_c, n_q, d, d), op.dtype)
+            cq["p_old_grad"] = jnp.zeros((n_c, n_q, d), op.dtype)
+        if op.cell_wise_stabilization:
+            cq["delta1"] = s.delta1
+            cq["delta2"] = s.delta2
+        return cq
     return dict(
         weight=s.weight,  # scalar, broadcast below via in_axes=None
         u_star=s.u_star,

@@ -69,7 +69,17 @@ class FaceBlock(NamedTuple):
 
 class NSState(NamedTuple):
     """Linearization-point + history tables (device, recomputed per step /
-    Newton iteration; shapes fixed => no recompiles)."""
+    Newton iteration; shapes fixed => no recompiles).
+
+    Two storage modes (``fuse_tables``):
+    - cached: u*, grad u*, grad p*, dt_u_old precomputed per (cell, q)
+      like the reference's tables (``operator_ns.cc:570-620``); the vector
+      fields have extent 0,
+    - fused: only the *vectors* (u_lin, vec_old, u_old) are stored and the
+      q-point tables are recomputed inside the hot sweep — trading MXU
+      flops for ~2x less HBM traffic (the TPU-native choice); the table
+      fields have q-extent 0.
+    """
 
     weight: jnp.ndarray        # () primary BDF/theta weight
     u_star: jnp.ndarray        # (n_c, n_q, d)
@@ -82,6 +92,9 @@ class NSState(NamedTuple):
     delta2: jnp.ndarray        # (n_c, n_q) or (n_c, 1)
     face_velocity: tuple       # per FaceBlock: (n_bf, n_fq, d) or ()
     face_target: tuple         # per FaceBlock: (n_bf, n_fq, d) or ()
+    u_lin: jnp.ndarray         # (n_nodes, C) fused mode, else (0, C)
+    vec_old: jnp.ndarray       # (n_nodes, C) fused mode, else (0, C)
+    u_old: jnp.ndarray         # (n_nodes, C) fused theta mode, else (0, C)
 
 
 # --------------------------------------------------------------------------
@@ -147,6 +160,7 @@ class NavierStokesOperator:
         outflow_bcs_cut: set = frozenset(),
         outflow_bcs_nitsche: dict = None,
         dtype=jnp.float64,
+        fuse_tables: bool = False,
     ):
         self.space = space
         self.dim = space.dim
@@ -168,6 +182,7 @@ class NavierStokesOperator:
         self.needs_face_integrals = bool(
             self.outflow_bcs_cut or self.outflow_bcs_nitsche
         )
+        self.fuse_tables = bool(fuse_tables)
         self.constraints_homogeneous = constraints_homogeneous
         self.constraints_full = constraints_full
         # filled per time step by the driver:
@@ -242,23 +257,32 @@ class NavierStokesOperator:
         n_c = self.space.mesh.n_cells
         n_q = self.space.element.n_q
         d = self.dim
+        C = self.n_comp
         z = functools.partial(jnp.zeros, dtype=self.dtype)
+        tq = 0 if self.fuse_tables else n_q  # table q-extent
+        nn = self.n_nodes if self.fuse_tables else 0
+        dq = 1 if self.cell_wise_stabilization else (
+            0 if self.fuse_tables else n_q
+        )
         return NSState(
             weight=jnp.asarray(0.0, self.dtype),
-            u_star=z((n_c, n_q, d)),
-            grad_u_star=z((n_c, n_q, d, d)),
-            grad_p_star=z((n_c, n_q, d)),
-            dt_u_old=z((n_c, n_q, d)),
-            u_old_grad=z((n_c, n_q, d, d)),
-            p_old_grad=z((n_c, n_q, d)),
-            delta1=z((n_c, 1 if self.cell_wise_stabilization else n_q)),
-            delta2=z((n_c, 1 if self.cell_wise_stabilization else n_q)),
+            u_star=z((n_c, tq, d)),
+            grad_u_star=z((n_c, tq, d, d)),
+            grad_p_star=z((n_c, tq, d)),
+            dt_u_old=z((n_c, tq, d)),
+            u_old_grad=z((n_c, tq, d, d)),
+            p_old_grad=z((n_c, tq, d)),
+            delta1=z((n_c, dq)),
+            delta2=z((n_c, dq)),
             face_velocity=tuple(
                 z(fb.normals.shape[:2] + (d,)) for fb in self.face_blocks
             ),
             face_target=tuple(
                 z(fb.normals.shape[:2] + (d,)) for fb in self.face_blocks
             ),
+            u_lin=z((nn, C)),
+            vec_old=z((nn, C)),
+            u_old=z((nn if self.theta != 1.0 else 0, C)),
         )
 
     # ------------------------------------------------------------------
@@ -381,13 +405,46 @@ class NavierStokesOperator:
             delta2=state.delta2,
         )
 
+    def _fused_cq(self, b: CellBatch, state: NSState) -> dict:
+        """Recompute the linearization tables inside the sweep (fused mode):
+        2 extra basis evaluations (MXU) instead of streaming ~2 KB/cell of
+        cached tables (HBM)."""
+        d = self.dim
+        ul_loc = state.u_lin[b.cell_nodes]
+        lval, lgrad = fe_evaluate(b.S, b.D, b.jinv, ul_loc)
+        u_star = lval[..., :d]
+        vo_loc = state.vec_old[b.cell_nodes]
+        dt_u_old = jnp.einsum("qi,eic->eqc", b.S, vo_loc[..., :d])
+        cq = dict(
+            weight=state.weight,
+            u_star=u_star,
+            grad_u_star=lgrad[..., :d, :],
+            grad_p_star=lgrad[..., d, :],
+            dt_u_old=dt_u_old,
+            delta1=state.delta1,
+            delta2=state.delta2,
+            u_old_grad=None,
+            p_old_grad=None,
+        )
+        if self.theta != 1.0:
+            uo_loc = state.u_old[b.cell_nodes]
+            _, ograd = fe_evaluate(b.S, b.D, b.jinv, uo_loc)
+            cq["u_old_grad"] = ograd[..., :d, :]
+            cq["p_old_grad"] = ograd[..., d, :]
+        if not self.cell_wise_stabilization:
+            cq["delta1"], cq["delta2"] = self._penalty_impl(b, u_star)
+        return cq
+
     def _cell_sweep(self, b: CellBatch, state: NSState, u,
                     residual_form: bool):
         """The hot fused sweep: gather -> evaluate -> physics -> integrate
         -> scatter-add (``do_vmult_range``, ``operator_ns.cc:806-830``)."""
         u_loc = u[b.cell_nodes]  # (n_c, n_loc, C)
         val, grad = fe_evaluate(b.S, b.D, b.jinv, u_loc)
-        cq = self._cq(state, residual_form)
+        if self.fuse_tables:
+            cq = self._fused_cq(b, state)
+        else:
+            cq = self._cq(state, residual_form)
         if residual_form or not self.increment_form:
             val_res, grad_res = self.qpoint_fixed_point(
                 val, grad, cq, residual=residual_form
@@ -517,15 +574,23 @@ class NavierStokesOperator:
         return fe_evaluate(b.S, b.D, b.jinv, u_loc)
 
     def _set_linearization_impl(self, batch, faces, state: NSState, u):
-        val, grad = self._evaluate_tables(batch, u)
         d = self.dim
+        fvel = tuple(
+            self._face_values(batch, fb, u)[..., :d] for fb in faces
+        )
+        if self.fuse_tables:
+            new = state._replace(u_lin=u, face_velocity=fvel)
+            if self.cell_wise_stabilization:
+                u_loc = u[batch.cell_nodes][..., :d]
+                u_star = jnp.einsum("qi,eic->eqc", batch.S, u_loc)
+                delta1, delta2 = self._penalty_impl(batch, u_star)
+                new = new._replace(delta1=delta1, delta2=delta2)
+            return new
+        val, grad = self._evaluate_tables(batch, u)
         u_star = val[..., :d]
         grad_u_star = grad[..., :d, :]
         grad_p_star = grad[..., d, :]
         delta1, delta2 = self._penalty_impl(batch, u_star)
-        fvel = tuple(
-            self._face_values(batch, fb, u)[..., :d] for fb in faces
-        )
         return state._replace(
             u_star=u_star,
             grad_u_star=grad_u_star,
@@ -603,6 +668,11 @@ class NavierStokesOperator:
     def _set_previous_impl(self, batch, state: NSState, vec_old, u_old):
         """vec_old = sum_i>=1 w_i u^(n-i); u_old for theta-method tables."""
         d = self.dim
+        if self.fuse_tables:
+            new = state._replace(vec_old=vec_old)
+            if self.theta != 1.0:
+                new = new._replace(u_old=u_old)
+            return new
         val, grad = self._evaluate_tables(batch, vec_old)
         new = state._replace(dt_u_old=val[..., :d])
         if self.theta != 1.0:

@@ -101,6 +101,9 @@ class ShardedOperator:
             delta1=f(state.delta1),
             delta2=f(state.delta2),
             weight=jax.device_put(state.weight, self._repl),
+            u_lin=jax.device_put(state.u_lin, self._repl),
+            vec_old=jax.device_put(state.vec_old, self._repl),
+            u_old=jax.device_put(state.u_old, self._repl),
         )
 
     def _build(self):
@@ -112,7 +115,18 @@ class ShardedOperator:
 
         from ns_gls_tpu.ops.navier_stokes import fe_evaluate, fe_integrate
 
-        def local_sweep(batch, cq, u_eff, residual_form):
+        def local_sweep(batch, state, u_eff, residual_form):
+            if op.fuse_tables:
+                cq = op._fused_cq(batch, state)
+            else:
+                cq = dict(
+                    weight=state.weight, u_star=state.u_star,
+                    grad_u_star=state.grad_u_star,
+                    grad_p_star=state.grad_p_star,
+                    dt_u_old=state.dt_u_old, u_old_grad=state.u_old_grad,
+                    p_old_grad=state.p_old_grad,
+                    delta1=state.delta1, delta2=state.delta2,
+                )
             u_loc = u_eff[batch.cell_nodes]
             val, grad = fe_evaluate(batch.S, batch.D, batch.jinv, u_loc)
             if residual_form or not op.increment_form:
@@ -140,31 +154,20 @@ class ShardedOperator:
                 delta1=P(AXIS), delta2=P(AXIS), weight=P(),
                 face_velocity=tuple(P() for _ in state.face_velocity),
                 face_target=tuple(P() for _ in state.face_target),
+                u_lin=P(), vec_old=P(), u_old=P(),
             )
 
-        dummy = op.state
-        sspecs = state_specs(dummy)
+        sspecs = state_specs(op.state)
 
         def make(residual_form):
-            def cq_of(state):
-                return dict(
-                    weight=state.weight, u_star=state.u_star,
-                    grad_u_star=state.grad_u_star,
-                    grad_p_star=state.grad_p_star,
-                    dt_u_old=state.dt_u_old, u_old_grad=state.u_old_grad,
-                    p_old_grad=state.p_old_grad,
-                    delta1=state.delta1, delta2=state.delta2,
-                )
-
-            sweep = shard_map(
+            return shard_map(
                 lambda batch, state, u: local_sweep(
-                    batch, cq_of(state), u, residual_form
+                    batch, state, u, residual_form
                 ),
                 mesh=mesh,
                 in_specs=(batch_specs, sspecs, P()),
                 out_specs=P(),
             )
-            return sweep
 
         sweep_lin = make(False)
         sweep_res = make(True)
