@@ -306,6 +306,23 @@ class FESpace:
         # 6) boundary-face batches grouped by local face index
         self.face_batches: list[FaceBatch] = self.build_face_batches(self.n_q1d)
 
+        # 7) transpose gather map: for each node, the (cell*n_loc+loc) slots
+        # contributing to it, padded.  Replaces scatter-add with a gather +
+        # small sum in the hot sweep — scatters serialize on TPU, gathers
+        # vectorize (SURVEY §7 "hard parts" #1).
+        flat = self.cell_nodes.reshape(-1).astype(np.int64)
+        order = np.argsort(flat, kind="stable")
+        counts = np.bincount(flat, minlength=self.n_nodes)
+        K = int(counts.max())
+        pad_slot = flat.size  # points at an appended zero row
+        gather = np.full((self.n_nodes, K), pad_slot, dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for k in range(K):
+            has = counts > k
+            gather[has, k] = order[starts[:-1][has] + k]
+        self.node_gather = gather.astype(np.int32)
+        self.node_gather_K = K
+
     def build_face_batches(self, n_q1d: int, boundary_ids=None) -> list:
         """Boundary-face batches with an n_q1d-per-direction Gauss rule,
         optionally restricted to given boundary ids (the postprocess

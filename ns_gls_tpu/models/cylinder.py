@@ -101,23 +101,43 @@ class SimulationCylinder(SimulationBase):
             if self.dim == 2
             else cylinder_mesh_3d(**kwargs)
         )
-        if self.reset_manifold_level != -1:
-            mesh.edge_manifold.clear()
-            mesh.face_manifold.clear()
-        # refine-in-wake loop (``simulation.cc:317-326``): cells with
-        # center x < length - position; without extra length this is all
-        # cells (global refinement)
+        # Roughness-study machinery (``simulation.cc:654-785``,
+        # ``get_mapping_private``): with ``reset manifold level`` = r, the
+        # cylinder surface follows the true circle only for the first r
+        # refinement levels and is frozen (polygonal) afterwards — surface
+        # roughness as a controlled parameter.  The reference realizes the
+        # same geometry through a MappingQCache morph of a flat-refined
+        # p4est mesh; here we simply drop the manifold attachments after r
+        # levels (geometry is identical: Q1-cached mapping == vertex
+        # placement).
+        r = self.reset_manifold_level
         xcut = (
             self.geometry_channel_length - self.geometry_cylinder_position
         )
-        for _ in range(n_global_refinements):
+        for lvl in range(n_global_refinements):
+            if r != -1 and lvl >= r:
+                mesh.edge_manifold.clear()
+                mesh.face_manifold.clear()
+            # refine-in-wake loop (``simulation.cc:317-326``): cells with
+            # center x < length - position; without extra length this is
+            # all cells (global refinement)
             centers = mesh.vertices[mesh.cells].mean(axis=1)
             flags = centers[:, 0] < xcut
             if flags.all():
                 mesh = mesh.refine()
             else:
                 mesh = mesh.refine(flags)
+        if r == 0 and n_global_refinements == 0:
+            mesh.edge_manifold.clear()
+            mesh.face_manifold.clear()
         return mesh
+
+    def mapping_degree(self, fe_degree: int, requested: int) -> int:
+        # the reference's roughness mapping is a Q1 MappingQCache morph
+        # (``simulation.cc:679,759``) — vertex-level geometry only
+        if self.reset_manifold_level != -1:
+            return 1
+        return fe_degree if requested == 0 else requested
 
     def get_boundary_descriptor(self) -> BoundaryDescriptor:
         bcs = BoundaryDescriptor()

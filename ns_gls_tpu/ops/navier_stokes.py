@@ -46,11 +46,12 @@ from ns_gls_tpu.fem.space import FESpace
 class CellBatch(NamedTuple):
     S: jnp.ndarray           # (n_q, n_loc)
     D: jnp.ndarray           # (n_q, n_loc, dim)
-    jinv: jnp.ndarray        # (n_c, n_q, dim, dim)
+    jinv: jnp.ndarray        # (n_c, n_q_or_1, dim, dim)
     jxw: jnp.ndarray         # (n_c, n_q)
     cell_nodes: jnp.ndarray  # (n_c, n_loc) int32
     h_min_vertex: jnp.ndarray  # (n_c,)
     h_q: jnp.ndarray         # (n_c,)  measure-based h / degree (lethe-style)
+    node_gather: jnp.ndarray  # (n_nodes, K) transpose map; (0,0) => scatter
 
 
 class FaceBlock(NamedTuple):
@@ -217,6 +218,7 @@ class NavierStokesOperator:
             cell_nodes=jnp.asarray(space.cell_nodes),
             h_min_vertex=jnp.asarray(space.cell_h_min_vertex, dtype),
             h_q=jnp.asarray(h_q, dtype),
+            node_gather=jnp.asarray(space.node_gather),
         )
 
         self.face_blocks: tuple[FaceBlock, ...] = ()
@@ -452,6 +454,14 @@ class NavierStokesOperator:
         else:
             val_res, grad_res = self.qpoint_increment(val, grad, cq)
         r_loc = fe_integrate(b.S, b.D, b.jinv, b.jxw, val_res, grad_res)
+        if b.node_gather.shape[0] == self.n_nodes:
+            # transpose gather-sum: pure gathers vectorize on TPU where
+            # scatter-adds serialize
+            flat = r_loc.reshape(-1, self.n_comp)
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((1, self.n_comp), self.dtype)], axis=0
+            )
+            return flat[b.node_gather].sum(axis=1)
         r = jnp.zeros((self.n_nodes, self.n_comp), self.dtype)
         return r.at[b.cell_nodes].add(r_loc)
 

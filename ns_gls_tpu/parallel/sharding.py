@@ -62,6 +62,9 @@ class ShardedOperator:
         self.n_pad = (-n_c) % n_dev
 
         b = op.batch
+        # per-shard contributions are combined by psum, so the transpose
+        # gather map is disabled (zero-size) and the local scatter is used
+        no_gather = jnp.zeros((0, 0), jnp.int32)
         batch = CellBatch(
             S=b.S,
             D=b.D,
@@ -70,6 +73,7 @@ class ShardedOperator:
             cell_nodes=_pad_cells(b.cell_nodes, self.n_pad),
             h_min_vertex=_pad_cells(b.h_min_vertex, self.n_pad, fill=1),
             h_q=_pad_cells(b.h_q, self.n_pad, fill=1),
+            node_gather=no_gather,
         )
         shard = NamedSharding(mesh, P(AXIS))
         repl = NamedSharding(mesh, P())
@@ -81,6 +85,7 @@ class ShardedOperator:
             cell_nodes=jax.device_put(batch.cell_nodes, shard),
             h_min_vertex=jax.device_put(batch.h_min_vertex, shard),
             h_q=jax.device_put(batch.h_q, shard),
+            node_gather=jax.device_put(batch.node_gather, repl),
         )
         self._shard = shard
         self._repl = repl
@@ -144,7 +149,7 @@ class ShardedOperator:
 
         batch_specs = CellBatch(
             S=P(), D=P(), jinv=P(AXIS), jxw=P(AXIS), cell_nodes=P(AXIS),
-            h_min_vertex=P(AXIS), h_q=P(AXIS),
+            h_min_vertex=P(AXIS), h_q=P(AXIS), node_gather=P(),
         )
 
         def state_specs(state):
