@@ -23,7 +23,10 @@ import numpy as np
 
 
 def build(dim=3, refinements=5, degree=2, dtype=jnp.float32,
-          fuse_tables=True):
+          fuse_tables=False):
+    # cached-table mode: tables stream at full HBM bandwidth while extra
+    # vector gathers cost ~4ns/row on TPU — cached wins until the pallas
+    # windowed-gather kernel lands (see PERF.md)
     from ns_gls_tpu.fem.constraints import AffineConstraints
     from ns_gls_tpu.fem.space import FESpace
     from ns_gls_tpu.mesh.generators import subdivided_hyper_rectangle
@@ -76,7 +79,7 @@ def time_apply(apply_fn, args, u, n_rep=30) -> float:
     return max((t1 - t0) - (t2 - t1), 1e-9) / (n_rep - 1)
 
 
-def roofline_seconds(op, space, dtype, fused=True) -> float:
+def roofline_seconds(op, space, dtype) -> float:
     """Bytes moved per apply / HBM bandwidth (v5e: ~819 GB/s)."""
     bs = jnp.dtype(dtype).itemsize
     n_c = space.mesh.n_cells
@@ -85,6 +88,7 @@ def roofline_seconds(op, space, dtype, fused=True) -> float:
     d = space.dim
     C = d + 1
     n_dofs = space.n_nodes * C
+    fused = op.fuse_tables
     n_vec_reads = 3 if fused else 1  # u + (u_lin + vec_old | tables)
     state_bytes = 0 if fused else n_c * n_q * (d + d * d + d + d) * bs
     delta_bytes = n_c * (1 if op.cell_wise_stabilization else n_q) * 2 * bs
@@ -134,7 +138,7 @@ def main():
                 "metric": "ns_vmult_mdof_per_s",
                 "value": round(mdofs, 2),
                 "unit": f"MDoF/s/chip (dim={dim} ref={refinements} Q{degree}, "
-                        f"{n_dofs} dofs, f32, fused+affine)",
+                        f"{n_dofs} dofs, f32)",
                 "vs_baseline": round(frac, 4),
             }
         )

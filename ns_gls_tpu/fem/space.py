@@ -306,22 +306,36 @@ class FESpace:
         # 6) boundary-face batches grouped by local face index
         self.face_batches: list[FaceBatch] = self.build_face_batches(self.n_q1d)
 
-        # 7) transpose gather map: for each node, the (cell*n_loc+loc) slots
-        # contributing to it, padded.  Replaces scatter-add with a gather +
-        # small sum in the hot sweep — scatters serialize on TPU, gathers
-        # vectorize (SURVEY §7 "hard parts" #1).
+        # 7) transpose gather map (replaces scatter-add in the hot sweep:
+        # scatters serialize on TPU, gathers vectorize — SURVEY §7 "hard
+        # parts" #1).  Nodes are RENUMBERED by contribution count so each
+        # count-class gets a dense (n_class, K_class) gather table with no
+        # padding waste (XLA TPU gathers cost ~constant per row).
+        flat = self.cell_nodes.reshape(-1).astype(np.int64)
+        counts = np.bincount(flat, minlength=self.n_nodes)
+        perm = np.argsort(counts, kind="stable")      # old -> sorted order
+        relabel = np.empty(self.n_nodes, dtype=np.int64)
+        relabel[perm] = np.arange(self.n_nodes)
+        self.cell_nodes = relabel[self.cell_nodes].astype(np.int32)
+        self.node_pos = self.node_pos[perm]
+        counts = counts[perm]
+
         flat = self.cell_nodes.reshape(-1).astype(np.int64)
         order = np.argsort(flat, kind="stable")
-        counts = np.bincount(flat, minlength=self.n_nodes)
-        K = int(counts.max())
-        pad_slot = flat.size  # points at an appended zero row
-        gather = np.full((self.n_nodes, K), pad_slot, dtype=np.int64)
         starts = np.concatenate([[0], np.cumsum(counts)])
-        for k in range(K):
-            has = counts > k
-            gather[has, k] = order[starts[:-1][has] + k]
-        self.node_gather = gather.astype(np.int32)
-        self.node_gather_K = K
+        self.node_gather_classes = []  # (start_node, K, idx (n_class, K))
+        n0 = 0
+        while n0 < self.n_nodes:
+            K = int(counts[n0])
+            n1 = int(np.searchsorted(counts, K, side="right"))
+            idx = np.empty((n1 - n0, max(K, 1)), dtype=np.int32)
+            if K == 0:
+                idx[:] = flat.size  # unused nodes: gather the zero pad row
+            else:
+                for k in range(K):
+                    idx[:, k] = order[starts[n0:n1] + k]
+            self.node_gather_classes.append((n0, max(K, 1), idx))
+            n0 = n1
 
     def build_face_batches(self, n_q1d: int, boundary_ids=None) -> list:
         """Boundary-face batches with an n_q1d-per-direction Gauss rule,

@@ -51,7 +51,9 @@ class CellBatch(NamedTuple):
     cell_nodes: jnp.ndarray  # (n_c, n_loc) int32
     h_min_vertex: jnp.ndarray  # (n_c,)
     h_q: jnp.ndarray         # (n_c,)  measure-based h / degree (lethe-style)
-    node_gather: jnp.ndarray  # (n_nodes, K) transpose map; (0,0) => scatter
+    node_gather: tuple       # per contribution-count class: (n_class, K)
+    #                          transpose maps (nodes renumbered by class);
+    #                          empty tuple => scatter-add fallback
 
 
 class FaceBlock(NamedTuple):
@@ -218,7 +220,9 @@ class NavierStokesOperator:
             cell_nodes=jnp.asarray(space.cell_nodes),
             h_min_vertex=jnp.asarray(space.cell_h_min_vertex, dtype),
             h_q=jnp.asarray(h_q, dtype),
-            node_gather=jnp.asarray(space.node_gather),
+            node_gather=tuple(
+                jnp.asarray(idx) for _, _, idx in space.node_gather_classes
+            ),
         )
 
         self.face_blocks: tuple[FaceBlock, ...] = ()
@@ -454,14 +458,16 @@ class NavierStokesOperator:
         else:
             val_res, grad_res = self.qpoint_increment(val, grad, cq)
         r_loc = fe_integrate(b.S, b.D, b.jinv, b.jxw, val_res, grad_res)
-        if b.node_gather.shape[0] == self.n_nodes:
+        if b.node_gather:
             # transpose gather-sum: pure gathers vectorize on TPU where
-            # scatter-adds serialize
+            # scatter-adds serialize; one dense table per contribution
+            # class (nodes renumbered by class => zero padding waste)
             flat = r_loc.reshape(-1, self.n_comp)
             flat = jnp.concatenate(
                 [flat, jnp.zeros((1, self.n_comp), self.dtype)], axis=0
             )
-            return flat[b.node_gather].sum(axis=1)
+            parts = [flat[idx].sum(axis=1) for idx in b.node_gather]
+            return jnp.concatenate(parts, axis=0)
         r = jnp.zeros((self.n_nodes, self.n_comp), self.dtype)
         return r.at[b.cell_nodes].add(r_loc)
 

@@ -63,8 +63,8 @@ class ShardedOperator:
 
         b = op.batch
         # per-shard contributions are combined by psum, so the transpose
-        # gather map is disabled (zero-size) and the local scatter is used
-        no_gather = jnp.zeros((0, 0), jnp.int32)
+        # gather map is disabled (empty) and the local scatter is used
+        no_gather = ()
         batch = CellBatch(
             S=b.S,
             D=b.D,
@@ -85,7 +85,7 @@ class ShardedOperator:
             cell_nodes=jax.device_put(batch.cell_nodes, shard),
             h_min_vertex=jax.device_put(batch.h_min_vertex, shard),
             h_q=jax.device_put(batch.h_q, shard),
-            node_gather=jax.device_put(batch.node_gather, repl),
+            node_gather=(),
         )
         self._shard = shard
         self._repl = repl
@@ -149,7 +149,7 @@ class ShardedOperator:
 
         batch_specs = CellBatch(
             S=P(), D=P(), jinv=P(AXIS), jxw=P(AXIS), cell_nodes=P(AXIS),
-            h_min_vertex=P(AXIS), h_q=P(AXIS), node_gather=P(),
+            h_min_vertex=P(AXIS), h_q=P(AXIS), node_gather=(),
         )
 
         def state_specs(state):
