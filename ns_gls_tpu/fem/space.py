@@ -262,20 +262,15 @@ class FESpace:
         self.map_points = _MappingBuilder(mesh, self.mapping_degree).build()
 
         # 2) global node numbering: dedup on Q1-lattice positions
+        from ns_gls_tpu.utils import native
+
         S1 = _q1_shape(el.support_points)  # (n_loc, 2**dim)
         q1_pos = np.einsum("li,cid->cld", S1, mesh.vertices[mesh.cells])
         tol = max(mesh.cell_min_vertex_distance().min() / 64.0, 1e-12)
         key = np.round(q1_pos.reshape(-1, dim) / tol).astype(np.int64)
-        uniq, first, inv = np.unique(
-            key, axis=0, return_index=True, return_inverse=True
-        )
-        order = np.argsort(first, kind="stable")
-        rank = np.empty_like(order)
-        rank[order] = np.arange(len(order))
-        self.cell_nodes = (
-            rank[inv].reshape(mesh.n_cells, el.n_loc).astype(np.int32)
-        )
-        self.n_nodes = len(uniq)
+        ids, n_unique = native.unique_rows(key)
+        self.cell_nodes = ids.reshape(mesh.n_cells, el.n_loc).astype(np.int32)
+        self.n_nodes = n_unique
 
         # 3) true node positions (isoparametric): evaluate the mapping at
         # the FE support points; first-writer wins for shared nodes
@@ -311,8 +306,7 @@ class FESpace:
         # parts" #1).  Nodes are RENUMBERED by contribution count so each
         # count-class gets a dense (n_class, K_class) gather table with no
         # padding waste (XLA TPU gathers cost ~constant per row).
-        flat = self.cell_nodes.reshape(-1).astype(np.int64)
-        counts = np.bincount(flat, minlength=self.n_nodes)
+        counts, _ = native.transpose_map(self.cell_nodes, self.n_nodes)
         perm = np.argsort(counts, kind="stable")      # old -> sorted order
         relabel = np.empty(self.n_nodes, dtype=np.int64)
         relabel[perm] = np.arange(self.n_nodes)
@@ -321,7 +315,7 @@ class FESpace:
         counts = counts[perm]
 
         flat = self.cell_nodes.reshape(-1).astype(np.int64)
-        order = np.argsort(flat, kind="stable")
+        _, order = native.transpose_map(self.cell_nodes, self.n_nodes)
         starts = np.concatenate([[0], np.cumsum(counts)])
         self.node_gather_classes = []  # (start_node, K, idx (n_class, K))
         n0 = 0

@@ -15,16 +15,32 @@ from ns_gls_tpu.fem.space import FESpace
 
 
 def locate_points(space: FESpace, points: np.ndarray, tol: float = 1e-8):
-    """Returns (cells (n_p,), ref_coords (n_p, dim)). Raises if not found."""
+    """Returns (cells (n_p,), ref_coords (n_p, dim)). Raises if not found.
+
+    Uses the native meshkit Q1 locator (native/meshkit.cc) to find the
+    owning cell, then polishes the reference coordinates with Newton on
+    the full isoparametric mapping."""
     points = np.atleast_2d(np.asarray(points, dtype=np.float64))
     dim = space.dim
     centers = space.map_points.mean(axis=1)  # (n_c, dim)
     cells_out = np.empty(len(points), dtype=np.int64)
     refs_out = np.empty((len(points), dim))
 
+    from ns_gls_tpu.utils import native
+
+    q1_hits = None
+    if native.available():
+        res = native.locate_points_q1(
+            space.mesh.vertices, space.mesh.cells, points, tol=1e-9
+        )
+        if res is not None:
+            q1_hits = res[0]
+
     for ip, p in enumerate(points):
         d2 = ((centers - p) ** 2).sum(axis=1)
-        candidates = np.argsort(d2)[:32]
+        candidates = list(np.argsort(d2)[:32])
+        if q1_hits is not None and q1_hits[ip] >= 0:
+            candidates = [int(q1_hits[ip])] + candidates
         found = False
         for c in candidates:
             X = space.map_points[c]  # (n_map_loc, dim)
