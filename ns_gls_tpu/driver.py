@@ -53,6 +53,10 @@ class ConstraintSetBuilder:
         dim = space.dim
         self.vel_comps = list(range(dim))
 
+        from ns_gls_tpu.fem.hanging import hanging_node_constraints
+
+        hanging = hanging_node_constraints(space)
+
         def build(include_inhom_rows: bool):
             b = AffineConstraints(space.n_nodes, dim + 1)
             for bid in bcs.all_homogeneous_dbcs:
@@ -68,6 +72,9 @@ class ConstraintSetBuilder:
             if include_inhom_rows:
                 for bid, _fn in bcs.all_inhomogeneous_dbcs:
                     b.add_dirichlet(space.boundary_nodes([bid]), self.vel_comps)
+            # hanging nodes last (reference order, ``main.cc:273-293``)
+            for node, masters, weights in hanging:
+                b.add_hanging_node(node, None, masters, weights)
             return b
 
         self.full = build(False).close(dtype)

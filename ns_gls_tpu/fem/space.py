@@ -340,7 +340,10 @@ class FESpace:
 
         mesh, dim = self.mesh, self.dim
         el = Element(dim, self.degree, n_q1d)
-        bf = mesh.compute_boundary_faces()
+        # stored ids, not topology: on adaptive meshes hanging interfaces
+        # also look "unmatched" topologically but are not boundaries
+        c, f = np.nonzero(mesh.boundary_ids >= 0)
+        bf = np.stack([c, f], axis=1)
         bids = mesh.boundary_ids[bf[:, 0], bf[:, 1]]
         if boundary_ids is not None:
             keep = np.isin(bids, list(boundary_ids))

@@ -47,29 +47,39 @@ class TwoLevelTransfer(NamedTuple):
 
 def build_transfer(coarse: FESpace, fine: FESpace, dtype=jnp.float32
                    ) -> TwoLevelTransfer:
-    """fine.mesh must be coarse.mesh.refine() (children ordered
-    child-within-parent, as produced by Mesh.refine)."""
+    """fine.mesh must be coarse.mesh.refine(flags) — uniform or adaptive.
+    Uses fine.mesh.parent_cell/parent_child: refined parents transfer via
+    the embedding, carried cells via identity."""
     dim = coarse.dim
     deg = coarse.degree
     n_children = 2**dim
-    assert fine.mesh.n_cells == coarse.mesh.n_cells * n_children
 
     emb = embedding_matrix(deg, dim)  # (2^d, n_loc, n_loc)
     n_loc = emb.shape[1]
+    eye = np.eye(n_loc)
 
     cn_c = coarse.cell_nodes  # (n_cc, n_loc)
-    cn_f = fine.cell_nodes    # (n_cc*2^d, n_loc)
+    cn_f = fine.cell_nodes
+
+    pc = fine.mesh.parent_child
+    pp = fine.mesh.parent_cell
+    if pc is None:  # uniform refinement without maps
+        assert fine.mesh.n_cells == coarse.mesh.n_cells * n_children
+        pp = np.repeat(np.arange(coarse.mesh.n_cells), n_children)
+        pc = np.tile(np.arange(n_children), coarse.mesh.n_cells)
 
     # ---- prolongation map -------------------------------------------------
     p_cols = np.zeros((fine.n_nodes, n_loc), dtype=np.int32)
     p_wts = np.zeros((fine.n_nodes, n_loc), dtype=np.float64)
-    n_cc = coarse.mesh.n_cells
-    for child in range(n_children):
-        fcells = np.arange(n_cc) * n_children + child
-        rows = cn_f[fcells]                # (n_cc, n_loc) fine nodes
+    for child in range(-1, n_children):
+        sel = np.nonzero(pc == child)[0]
+        if len(sel) == 0:
+            continue
+        rows = cn_f[sel]                # (n_sel, n_loc) fine nodes
+        parents = cn_c[pp[sel]]         # (n_sel, n_loc) coarse nodes
         for i in range(n_loc):
-            p_cols[rows[:, i]] = cn_c
-            p_wts[rows[:, i]] = emb[child, i]
+            p_cols[rows[:, i]] = parents
+            p_wts[rows[:, i]] = eye[i] if child < 0 else emb[child, i]
 
     # ---- injection map ----------------------------------------------------
     # coarse support point p lives in child c(p); fine local coords 2p-off
@@ -84,12 +94,28 @@ def build_transfer(coarse: FESpace, fine: FESpace, dtype=jnp.float32
         S, _ = tabulate_at(deg, dim, q[None, :])
         w_inj[i] = S[0]
 
+    # fine cell of (parent, child); -1 where the parent was carried
+    fine_of = np.full((coarse.mesh.n_cells, n_children), -1, dtype=np.int64)
+    refined = pc >= 0
+    fine_of[pp[refined], pc[refined]] = np.nonzero(refined)[0]
+    carried_fine = np.full(coarse.mesh.n_cells, -1, dtype=np.int64)
+    carried_fine[pp[~refined]] = np.nonzero(~refined)[0]
+
     i_cols = np.zeros((coarse.n_nodes, n_loc), dtype=np.int32)
     i_wts = np.zeros((coarse.n_nodes, n_loc), dtype=np.float64)
     for i in range(n_loc):
-        fcells = np.arange(n_cc) * n_children + child_of[i]
-        i_cols[cn_c[:, i]] = cn_f[fcells]
-        i_wts[cn_c[:, i]] = w_inj[i]
+        # refined parents: interpolate from the owning child
+        sel = np.nonzero(fine_of[:, child_of[i]] >= 0)[0]
+        if len(sel):
+            fcells = fine_of[sel, child_of[i]]
+            i_cols[cn_c[sel, i]] = cn_f[fcells]
+            i_wts[cn_c[sel, i]] = w_inj[i]
+        # carried parents: identity from the same cell
+        sel = np.nonzero(carried_fine >= 0)[0]
+        if len(sel):
+            fcells = carried_fine[sel]
+            i_cols[cn_c[sel, i]] = cn_f[fcells]
+            i_wts[cn_c[sel, i]] = eye[i]
 
     return TwoLevelTransfer(
         p_cols=jnp.asarray(p_cols),

@@ -112,6 +112,13 @@ class Mesh:
     edge_manifold: dict = dataclasses.field(default_factory=dict)
     face_manifold: dict = dataclasses.field(default_factory=dict)  # 3D only
     level: int = 0                       # refinement generation
+    cell_level: np.ndarray = None        # (n_c,) per-cell refinement level
+    parent_cell: np.ndarray = None       # (n_c,) parent in previous mesh
+    parent_child: np.ndarray = None      # (n_c,) child index, -1 = carried
+
+    def __post_init__(self):
+        if self.cell_level is None:
+            self.cell_level = np.zeros(self.n_cells, dtype=np.int32)
 
     @property
     def n_cells(self) -> int:
@@ -120,6 +127,11 @@ class Mesh:
     @property
     def n_vertices(self) -> int:
         return len(self.vertices)
+
+    @property
+    def is_adaptive(self) -> bool:
+        """True if cells live on different levels (hanging interfaces)."""
+        return bool(self.cell_level.min() != self.cell_level.max())
 
     # ---- derived topology -------------------------------------------------
     def unique_edges(self):
@@ -227,71 +239,104 @@ class Mesh:
     # ---- refinement -----------------------------------------------------
     def refine(self, flags: np.ndarray | None = None) -> "Mesh":
         """Refine cells where `flags` is True (default: all). Uniform
-        (isotropic) subdivision into 2**dim children.
+        (isotropic) subdivision into 2**dim children; subsets produce
+        1-irregular hanging interfaces (flags are 2:1-smoothed first, like
+        p4est's balance in ``execute_coarsening_and_refinement``).
 
-        Note: like deal.II, refining a subset produces hanging nodes; the
-        constraint engine handles them.  One-irregularity (at most one
-        hanging level per face) must be ensured by the caller via
-        :func:`smooth_flags`.
+        The result carries ``parent_cell``/``parent_child`` maps (child
+        index, or -1 for carried cells) for MG transfer construction.
         """
         if flags is None:
             flags = np.ones(self.n_cells, dtype=bool)
-        flags = np.asarray(flags, dtype=bool)
+        flags = self.smooth_flags(np.asarray(flags, dtype=bool))
         if self.dim == 2:
             return self._refine_2d(flags)
         return self._refine_3d(flags)
 
     def smooth_flags(self, flags: np.ndarray) -> np.ndarray:
-        """Expand refinement flags until no face has a level jump > 1.
-        (Only relevant for adaptive refinement; global refinement no-op.)"""
-        return flags  # levels are uniform in round-1 meshes
+        """Expand refinement flags so vertex-adjacent cells never differ by
+        more than one level after refinement (2:1 balance, conservative
+        vertex-based version of p4est's face balance)."""
+        flags = flags.copy()
+        if flags.all():
+            return flags
+        for _ in range(64):
+            target = self.cell_level + flags
+            vmax = np.full(self.n_vertices, -(10**9), dtype=np.int64)
+            np.maximum.at(vmax, self.cells.reshape(-1),
+                          np.repeat(target, self.cells.shape[1]))
+            cell_max = vmax[self.cells].max(axis=1)
+            need = (cell_max - 1) > target
+            if not need.any():
+                return flags
+            flags |= need
+        raise RuntimeError("2:1 smoothing did not converge")
+
+    def _dedup_new_vertices(self, new_pts: np.ndarray):
+        """Merge new vertex positions with existing ones (hanging vertices
+        created earlier from the other side of an interface must resolve
+        to the same id).  Returns (vertices, ids_of_new)."""
+        from ns_gls_tpu.utils import native
+
+        tol = max(self.cell_min_vertex_distance().min() / 64.0, 1e-12)
+        allv = np.vstack([self.vertices, new_pts])
+        keys = np.round(allv / tol).astype(np.int64)
+        ids, n_unique = native.unique_rows(keys)
+        # first-occurrence numbering keeps existing ids stable
+        assert (ids[: self.n_vertices] == np.arange(self.n_vertices)).all()
+        first_pos = np.full(n_unique, -1, dtype=np.int64)
+        seen = ids[::-1]
+        first_pos[seen] = np.arange(len(allv))[::-1]
+        vertices = allv[first_pos]
+        return vertices, ids[self.n_vertices:]
 
     def _refine_2d(self, flags) -> "Mesh":
-        if not flags.all():
-            raise NotImplementedError(
-                "adaptive refinement (hanging nodes) not yet wired in 2D"
-            )
-        edges, cell_edge = self.unique_edges()
-        n_v, n_e, n_c = self.n_vertices, len(edges), self.n_cells
+        R = np.nonzero(flags)[0]
+        U = np.nonzero(~flags)[0]
+        cells_R = self.cells[R]
+        ev = np.array(cell_edge_vertices(2))
+        pairs = np.sort(cells_R[:, ev], axis=-1).reshape(-1, 2)
+        edges, inv = np.unique(pairs, axis=0, return_inverse=True)
+        cell_edge = inv.reshape(len(R), 4)
+        n_v, n_e, n_r = self.n_vertices, len(edges), len(R)
 
         # new vertex positions
-        new_pts = np.empty((n_e + n_c, 2))
-        # edge midpoints (flat default, vectorized)
+        new_pts = np.empty((n_e + n_r, 2))
         new_pts[:n_e] = 0.5 * (
             self.vertices[edges[:, 0]] + self.vertices[edges[:, 1]]
         )
-        # curved edges
-        edge_mid_vid = {}
+        curved_edge_rows = {}
         if self.edge_manifold:
             key2idx = {(int(a), int(b)): i for i, (a, b) in enumerate(edges)}
             for (a, b), mid in self.edge_manifold.items():
                 i = key2idx.get((a, b))
                 if i is not None:
                     new_pts[i] = self._midpoint(np.array([a, b]), mid)
-                    edge_mid_vid[(a, b)] = n_v + i
-        # cell centers
-        new_pts[n_e:] = self.vertices[self.cells].mean(axis=1)
+                    curved_edge_rows[(a, b)] = i
+        new_pts[n_e:] = self.vertices[cells_R].mean(axis=1)
 
-        vertices = np.vstack([self.vertices, new_pts])
+        vertices, new_ids = self._dedup_new_vertices(new_pts)
+        edge_mid_vid = {
+            key: int(new_ids[row]) for key, row in curved_edge_rows.items()
+        }
 
         # parent lattice ids: L[c, i, j] for i,j in 0..2 (x index i)
-        L = np.empty((n_c, 3, 3), dtype=np.int64)
-        L[:, 0, 0] = self.cells[:, 0]
-        L[:, 2, 0] = self.cells[:, 1]
-        L[:, 0, 2] = self.cells[:, 2]
-        L[:, 2, 2] = self.cells[:, 3]
-        # cell_edge order from cell_edge_vertices(2):
-        # e0=(0,1) bottom, e1=(2,3) top, e2=(0,2) left, e3=(1,3) right
-        L[:, 1, 0] = n_v + cell_edge[:, 0]
-        L[:, 1, 2] = n_v + cell_edge[:, 1]
-        L[:, 0, 1] = n_v + cell_edge[:, 2]
-        L[:, 2, 1] = n_v + cell_edge[:, 3]
-        L[:, 1, 1] = n_v + n_e + np.arange(n_c)
+        L = np.empty((n_r, 3, 3), dtype=np.int64)
+        L[:, 0, 0] = cells_R[:, 0]
+        L[:, 2, 0] = cells_R[:, 1]
+        L[:, 0, 2] = cells_R[:, 2]
+        L[:, 2, 2] = cells_R[:, 3]
+        # cell_edge order: e0=(0,1) bottom, e1=(2,3) top, e2=(0,2) left,
+        # e3=(1,3) right
+        L[:, 1, 0] = new_ids[cell_edge[:, 0]]
+        L[:, 1, 2] = new_ids[cell_edge[:, 1]]
+        L[:, 0, 1] = new_ids[cell_edge[:, 2]]
+        L[:, 2, 1] = new_ids[cell_edge[:, 3]]
+        L[:, 1, 1] = new_ids[n_e + np.arange(n_r)]
 
         # children, x fastest: child (cx, cy) index = cx + 2*cy
-        cells = np.empty((n_c * 4, 4), dtype=np.int64)
-        bids = np.full((n_c * 4, 4), -1, dtype=np.int32)
-        child = 0
+        cells = np.empty((n_r * 4, 4), dtype=np.int64)
+        bids = np.full((n_r * 4, 4), -1, dtype=np.int32)
         for cy in range(2):
             for cx in range(2):
                 c = cx + 2 * cy
@@ -304,20 +349,18 @@ class Mesh:
                     ],
                     axis=1,
                 )
-                # face inheritance: face 0 (x-) if cx==0, 1 (x+) if cx==1,
-                # 2 (y-) if cy==0, 3 (y+) if cy==1
                 if cx == 0:
-                    bids[c::4, 0] = self.boundary_ids[:, 0]
+                    bids[c::4, 0] = self.boundary_ids[R, 0]
                 else:
-                    bids[c::4, 1] = self.boundary_ids[:, 1]
+                    bids[c::4, 1] = self.boundary_ids[R, 1]
                 if cy == 0:
-                    bids[c::4, 2] = self.boundary_ids[:, 2]
+                    bids[c::4, 2] = self.boundary_ids[R, 2]
                 else:
-                    bids[c::4, 3] = self.boundary_ids[:, 3]
-                child += 1
+                    bids[c::4, 3] = self.boundary_ids[R, 3]
 
-        # manifold inheritance for curved edges
-        new_edge_manifold = {}
+        # manifold inheritance for curved edges (keep entries of unsplit
+        # edges — carried cells may be refined later)
+        new_edge_manifold = dict(self.edge_manifold)
         for (a, b), mid in self.edge_manifold.items():
             m = edge_mid_vid.get((a, b))
             if m is None:
@@ -325,69 +368,95 @@ class Mesh:
             new_edge_manifold[_ekey(a, m)] = mid
             new_edge_manifold[_ekey(m, b)] = mid
 
+        cells_all = np.vstack([cells, self.cells[U]])
+        bids_all = np.vstack([bids, self.boundary_ids[U]])
+        levels = np.concatenate(
+            [np.repeat(self.cell_level[R] + 1, 4), self.cell_level[U]]
+        ).astype(np.int32)
+        # cells[c::4] strided writes => row r is parent R[r//4], child r%4
+        parent = np.concatenate([np.repeat(R, 4), U]).astype(np.int64)
+        pchild = np.concatenate(
+            [np.tile(np.arange(4), n_r), -np.ones(len(U))]
+        ).astype(np.int64)
+
         return Mesh(
             dim=2,
             vertices=vertices,
-            cells=cells,
-            boundary_ids=bids,
+            cells=cells_all,
+            boundary_ids=bids_all,
             manifolds=self.manifolds,
             edge_manifold=new_edge_manifold,
             face_manifold={},
             level=self.level + 1,
+            cell_level=levels,
+            parent_cell=parent,
+            parent_child=pchild,
         )
 
     def _refine_3d(self, flags) -> "Mesh":
-        if not flags.all():
-            raise NotImplementedError(
-                "adaptive refinement (hanging nodes) not yet wired in 3D"
-            )
-        edges, cell_edge = self.unique_edges()
-        faces, cell_face = self.unique_faces()
-        n_v, n_e, n_f, n_c = self.n_vertices, len(edges), len(faces), self.n_cells
+        R = np.nonzero(flags)[0]
+        U = np.nonzero(~flags)[0]
+        cells_R = self.cells[R]
+        n_r = len(R)
 
-        new_pts = np.empty((n_e + n_f + n_c, 3))
+        ev = np.array(cell_edge_vertices(3))
+        pairs = np.sort(cells_R[:, ev], axis=-1).reshape(-1, 2)
+        edges, inv_e = np.unique(pairs, axis=0, return_inverse=True)
+        cell_edge = inv_e.reshape(n_r, len(ev))
+        fvl = np.array(cell_face_vertices(3))
+        quads = np.sort(cells_R[:, fvl], axis=-1).reshape(-1, 4)
+        faces, inv_f = np.unique(quads, axis=0, return_inverse=True)
+        cell_face = inv_f.reshape(n_r, 6)
+        n_v, n_e, n_f = self.n_vertices, len(edges), len(faces)
+
+        new_pts = np.empty((n_e + n_f + n_r, 3))
         new_pts[:n_e] = 0.5 * (
             self.vertices[edges[:, 0]] + self.vertices[edges[:, 1]]
         )
-        edge_mid_vid = {}
+        curved_edge_rows = {}
         if self.edge_manifold:
             key2idx = {(int(a), int(b)): i for i, (a, b) in enumerate(edges)}
             for (a, b), mid in self.edge_manifold.items():
                 i = key2idx.get((a, b))
                 if i is not None:
                     new_pts[i] = self._midpoint(np.array([a, b]), mid)
-                    edge_mid_vid[(a, b)] = n_v + i
+                    curved_edge_rows[(a, b)] = i
         new_pts[n_e : n_e + n_f] = self.vertices[faces].mean(axis=1)
-        face_mid_vid = {}
+        curved_face_rows = {}
         if self.face_manifold:
             fkey2idx = {tuple(int(v) for v in f): i for i, f in enumerate(faces)}
             for key, mid in self.face_manifold.items():
                 i = fkey2idx.get(key)
                 if i is not None:
                     new_pts[n_e + i] = self._midpoint(np.array(key), mid)
-                    face_mid_vid[key] = n_v + n_e + i
-        new_pts[n_e + n_f :] = self.vertices[self.cells].mean(axis=1)
+                    curved_face_rows[key] = n_e + i
+        new_pts[n_e + n_f :] = self.vertices[cells_R].mean(axis=1)
 
-        vertices = np.vstack([self.vertices, new_pts])
+        vertices, new_ids = self._dedup_new_vertices(new_pts)
+        edge_mid_vid = {
+            key: int(new_ids[row]) for key, row in curved_edge_rows.items()
+        }
+        face_mid_vid = {
+            key: int(new_ids[row]) for key, row in curved_face_rows.items()
+        }
 
         # parent lattice L[c, i, j, k], i,j,k in 0..2
-        L = np.empty((n_c, 3, 3, 3), dtype=np.int64)
+        L = np.empty((n_r, 3, 3, 3), dtype=np.int64)
         # corners (lexicographic cell vertices, x fastest)
         for vz in range(2):
             for vy in range(2):
                 for vx in range(2):
                     v = vx + 2 * vy + 4 * vz
-                    L[:, 2 * vx, 2 * vy, 2 * vz] = self.cells[:, v]
+                    L[:, 2 * vx, 2 * vy, 2 * vz] = cells_R[:, v]
         # edges: cell_edge_vertices(3) ordering: dir x: 4 edges (combos of
         # (y,z) x-fastest over others list), then dir y, then dir z.
-        ev = cell_edge_vertices(3)
-        for e_idx, (va, vb) in enumerate(ev):
+        for e_idx, (va, vb) in enumerate(cell_edge_vertices(3)):
             # lattice coords of edge midpoint: average of the two vertex
             # lattice coords
             ca = np.array([(va >> 0) & 1, (va >> 1) & 1, (va >> 2) & 1]) * 2
             cb = np.array([(vb >> 0) & 1, (vb >> 1) & 1, (vb >> 2) & 1]) * 2
             cm = (ca + cb) // 2
-            L[:, cm[0], cm[1], cm[2]] = n_v + cell_edge[:, e_idx]
+            L[:, cm[0], cm[1], cm[2]] = new_ids[cell_edge[:, e_idx]]
         # faces
         fv = cell_face_vertices(3)
         for f_idx in range(6):
@@ -396,12 +465,12 @@ class Mesh:
                 [[(v >> 0) & 1, (v >> 1) & 1, (v >> 2) & 1] for v in vs]
             ) * 2
             cm = cs.mean(axis=0).astype(np.int64)
-            L[:, cm[0], cm[1], cm[2]] = n_v + n_e + cell_face[:, f_idx]
+            L[:, cm[0], cm[1], cm[2]] = new_ids[n_e + cell_face[:, f_idx]]
         # center
-        L[:, 1, 1, 1] = n_v + n_e + n_f + np.arange(n_c)
+        L[:, 1, 1, 1] = new_ids[n_e + n_f + np.arange(n_r)]
 
-        cells = np.empty((n_c * 8, 8), dtype=np.int64)
-        bids = np.full((n_c * 8, 6), -1, dtype=np.int32)
+        cells = np.empty((n_r * 8, 8), dtype=np.int64)
+        bids = np.full((n_r * 8, 6), -1, dtype=np.int32)
         for cz in range(2):
             for cy in range(2):
                 for cx in range(2):
@@ -415,17 +484,19 @@ class Mesh:
                     offs = (cx, cy, cz)
                     for d in range(3):
                         side = offs[d]
-                        bids[c::8, 2 * d + side] = self.boundary_ids[:, 2 * d + side]
+                        bids[c::8, 2 * d + side] = self.boundary_ids[
+                            R, 2 * d + side
+                        ]
 
-        # manifold inheritance
-        new_edge_manifold = {}
+        # manifold inheritance (keep unsplit entries for later passes)
+        new_edge_manifold = dict(self.edge_manifold)
         for (a, b), mid in self.edge_manifold.items():
             m = edge_mid_vid.get((a, b))
             if m is None:
                 continue
             new_edge_manifold[_ekey(a, m)] = mid
             new_edge_manifold[_ekey(m, b)] = mid
-        new_face_manifold = {}
+        new_face_manifold = dict(self.face_manifold)
         for key, mid in self.face_manifold.items():
             fm = face_mid_vid.get(key)
             if fm is None:
@@ -457,15 +528,28 @@ class Mesh:
                         _fkey([k[i], incident[i][0], incident[i][1], fm])
                     ] = mid
 
+        cells_all = np.vstack([cells, self.cells[U]])
+        bids_all = np.vstack([bids, self.boundary_ids[U]])
+        levels = np.concatenate(
+            [np.repeat(self.cell_level[R] + 1, 8), self.cell_level[U]]
+        ).astype(np.int32)
+        parent = np.concatenate([np.repeat(R, 8), U]).astype(np.int64)
+        pchild = np.concatenate(
+            [np.tile(np.arange(8), n_r), -np.ones(len(U))]
+        ).astype(np.int64)
+
         return Mesh(
             dim=3,
             vertices=vertices,
-            cells=cells,
-            boundary_ids=bids,
+            cells=cells_all,
+            boundary_ids=bids_all,
             manifolds=self.manifolds,
             edge_manifold=new_edge_manifold,
             face_manifold=new_face_manifold,
             level=self.level + 1,
+            cell_level=levels,
+            parent_cell=parent,
+            parent_child=pchild,
         )
 
     def refine_global(self, n: int) -> "Mesh":
@@ -493,5 +577,14 @@ class Mesh:
 
     def reorder(self, perm: np.ndarray) -> "Mesh":
         return dataclasses.replace(
-            self, cells=self.cells[perm], boundary_ids=self.boundary_ids[perm]
+            self,
+            cells=self.cells[perm],
+            boundary_ids=self.boundary_ids[perm],
+            cell_level=self.cell_level[perm],
+            parent_cell=(
+                None if self.parent_cell is None else self.parent_cell[perm]
+            ),
+            parent_child=(
+                None if self.parent_child is None else self.parent_child[perm]
+            ),
         )

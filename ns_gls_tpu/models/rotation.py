@@ -22,11 +22,11 @@ class SimulationRotation(SimulationBase):
         mesh = hyper_shell_2d((0.0, 0.0), 0.25, 1.0, 4)
         mesh.manifolds[0] = PolarManifold((0.0, 0.0))
         mesh = mesh.refine_global(n_global_refinements)
-        # reference refines all boundary-adjacent cells once
-        # (``simulation.cc:803-809``); with our uniform-refinement-only
-        # round-1 mesh engine we refine globally once instead (superset).
-        mesh = mesh.refine_global(1)
-        return mesh
+        # refine all boundary-adjacent cells once
+        # (``simulation.cc:803-809``) — creates hanging nodes like the
+        # reference; the constraint engine handles them
+        flags = (mesh.boundary_ids >= 0).any(axis=1)
+        return mesh.refine(flags)
 
     def get_boundary_descriptor(self) -> BoundaryDescriptor:
         bcs = BoundaryDescriptor()
