@@ -101,6 +101,7 @@ class Parameters:
     # nonlinear solver: linearized|Picard|Newton
     nonlinear_solver: str = "linearized"
     newton_inexact: bool = False
+    nonlinear_tolerance: float = 1e-7  # ref hardcodes 1e-7 (solver_nl.cc:30)
 
     # output
     paraview_prefix: str = "results"
@@ -144,6 +145,7 @@ class Parameters:
         "gmg constraint coarse pressure dof": "gmg_constraint_coarse_pressure_dof",
         "nonlinear solver": "nonlinear_solver",
         "newton inexact": "newton_inexact",
+        "nonlinear tolerance": "nonlinear_tolerance",
         "paraview prefix": "paraview_prefix",
         "output granularity": "output_granularity",
         "precision": "precision",

@@ -195,9 +195,14 @@ class Driver:
                 self._setup_gmg(sim, bcs, mapping_degree, increment_form,
                                 mg_dtype)
             elif p.preconditioner == "ILU":
-                # round-1: Jacobi stands in for single-level ILU (TODO)
-                self.preconditioner = PreconditionerJacobi(self.op)
+                from ns_gls_tpu.precond.ilu import PreconditionerILU
+
+                self.preconditioner = PreconditionerILU(self.op)
             elif p.preconditioner == "AMG":
+                from ns_gls_tpu.precond.amg import PreconditionerAMG
+
+                self.preconditioner = PreconditionerAMG(self.op)
+            elif p.preconditioner == "Jacobi":
                 self.preconditioner = PreconditionerJacobi(self.op)
             elif p.preconditioner == "identity":
                 self.preconditioner = PreconditionerIdentity()
@@ -223,7 +228,8 @@ class Driver:
             raise ValueError(f"unknown linear solver {p.linear_solver}")
 
         # ---- nonlinear solver ----------------------------------------------
-        nl = make_nonlinear_solver(p.nonlinear_solver, p.newton_inexact)
+        nl = make_nonlinear_solver(p.nonlinear_solver, p.newton_inexact,
+                                   p.nonlinear_tolerance)
         nl.logger = self.log
         nl.setup_jacobian = self._setup_jacobian
         nl.setup_preconditioner = self._setup_preconditioner

@@ -18,13 +18,25 @@ from ns_gls_tpu.models.base import (
 
 
 class SimulationSphere(SimulationBase):
+    DEFAULT_PATHS = (
+        os.path.join(os.path.dirname(__file__), "..", "..", "meshes",
+                     "sphere.msh"),
+        "../mesh/sphere.msh",          # reference layout
+        "/root/reference/mesh/sphere.msh",
+    )
+
     def __init__(self, dim: int, mesh_file: str | None = None):
         super().__init__(dim)
         if dim != 3:
             raise NotImplementedError("sphere case is 3D")
-        self.mesh_file = mesh_file or os.path.join(
-            os.path.dirname(__file__), "..", "..", "meshes", "sphere.msh"
+        self.mesh_file = mesh_file or next(
+            (p for p in self.DEFAULT_PATHS if os.path.exists(p)),
+            self.DEFAULT_PATHS[0],
         )
+
+    def parse_parameters(self, raw: dict):
+        if "simulation mesh file" in raw:
+            self.mesh_file = str(raw["simulation mesh file"])
 
     def create_mesh(self, n_global_refinements: int):
         mesh = read_msh(self.mesh_file)

@@ -282,6 +282,13 @@ class LinearSolverDirect(LinearSolverBase):
     def initialize(self):
         from ns_gls_tpu.ops.assembly import assemble_dense
 
+        n = self.op.n_nodes * self.op.n_comp
+        if n > 40000:
+            raise ValueError(
+                f"dense direct solver requested for {n} dofs; use GMRES with"
+                " GMG/AMG instead (the Trilinos sparse-direct equivalent is"
+                " only provided for small/coarse problems)"
+            )
         A = assemble_dense(self.op)
         self._lu = jax.scipy.linalg.lu_factor(jnp.asarray(A, self.op.dtype))
 

@@ -118,11 +118,12 @@ class NonLinearSolverPicard(NonLinearSolverBase):
         return solution
 
 
-def make_nonlinear_solver(kind: str, inexact: bool = False) -> NonLinearSolverBase:
+def make_nonlinear_solver(kind: str, inexact: bool = False,
+                          tolerance: float = 1e-7) -> NonLinearSolverBase:
     if kind == "linearized":
         return NonLinearSolverLinearized()
     if kind == "Newton":
-        return NonLinearSolverNewton(inexact=inexact)
+        return NonLinearSolverNewton(inexact=inexact, tolerance=tolerance)
     if kind == "Picard":
-        return NonLinearSolverPicard()
+        return NonLinearSolverPicard(tolerance=tolerance)
     raise ValueError(f"unknown nonlinear solver '{kind}'")
