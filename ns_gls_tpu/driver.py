@@ -389,7 +389,9 @@ class Driver:
     # ------------------------------------------------------------------
     def run(self, max_steps: int = 10**9):
         p = self.params
-        self.setup()
+        if not getattr(self, "_setup_done", False):
+            self.setup()
+            self._setup_done = True
         t = 0.0
         counter = 1
         min_dx = self.mesh.minimal_cell_diameter()

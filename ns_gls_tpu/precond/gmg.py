@@ -78,14 +78,37 @@ class PreconditionerGMG:
         mgdt = self.mg_dtype
         C = level_ops[0].n_comp
 
-        def coarse_solve(args: GMGArgs, r):
+        def coarse_apply(args: GMGArgs, r):
+            """One application of the coarse preconditioner: dense LU for
+            small coarse problems ("direct"), aggregation-AMG V-cycle
+            otherwise (the reference's coarse AMG, ``multigrid.cc:372-433``)."""
             if coarse_kind == "identity" or not args.coarse_lu:
                 return r
-            lu, piv = args.coarse_lu
-            x = jax.scipy.linalg.lu_solve(
-                (lu, piv), r.reshape(-1).astype(lu.dtype)
+            if self._coarse_kind == "lu":
+                lu, piv = args.coarse_lu
+                x = jax.scipy.linalg.lu_solve(
+                    (lu, piv), r.reshape(-1).astype(lu.dtype)
+                )
+                return x.reshape(r.shape).astype(r.dtype)
+            # aggregation-AMG V-cycle on the coarse matrix
+            return self._coarse_amg.vmult_pure(args.coarse_lu, r)
+
+        def coarse_solve(args: GMGArgs, r):
+            if not self.coarse_grid_iterate or coarse_kind == "identity":
+                return coarse_apply(args, r)
+            # iterative coarse solve: GMRES on the coarse level operator
+            # preconditioned by coarse_apply (``multigrid.cc:490-532``)
+            from ns_gls_tpu.solvers.linear import gmres
+
+            tol = self.coarse_grid_gmres_reltol * jnp.linalg.norm(
+                r.reshape(-1)
             )
-            return x.reshape(r.shape).astype(r.dtype)
+            res = gmres(
+                level_fns[0], args.level_args[0], r, jnp.zeros_like(r),
+                M=lambda a, x: coarse_apply(args, x), m_args=(),
+                tol=tol, restart=30, max_restarts=10,
+            )
+            return res.x
 
         def smooth(args, level, x, b):
             inv_d = args.inv_diags[level]
@@ -154,10 +177,23 @@ class PreconditionerGMG:
             omegas.append(self._estimate_omega(op.vmult_args, d, lvl))
 
         coarse_lu = ()
+        n_coarse = self.level_ops[0].n_nodes * self.level_ops[0].n_comp
         if self.coarse_grid_solver in ("direct", "ILU", "AMG"):
-            A = assemble_dense(self.level_ops[0])  # f64 host
-            lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(A))
-            coarse_lu = (lu, piv)
+            if self.coarse_grid_solver == "direct" and n_coarse <= 8000:
+                A = assemble_dense(self.level_ops[0])  # f64 host
+                lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(A))
+                coarse_lu = (lu, piv)
+                self._coarse_kind = "lu"
+            else:
+                # large coarse problems / AMG & ILU requests: aggregation
+                # AMG on the assembled coarse matrix (all-device apply)
+                from ns_gls_tpu.precond.amg import PreconditionerAMG
+
+                if not hasattr(self, "_coarse_amg"):
+                    self._coarse_amg = PreconditionerAMG(self.level_ops[0])
+                self._coarse_amg.initialize()
+                coarse_lu = self._coarse_amg.vmult_args
+                self._coarse_kind = "amg"
 
         self._args = GMGArgs(
             level_args=tuple(op.vmult_args for op in self.level_ops),
