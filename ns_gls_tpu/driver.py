@@ -187,6 +187,19 @@ class Driver:
             )
             self.op.constraints_inhomogeneous = self.csets.inhomogeneous_at(0.0)
 
+        if not p.use_matrix_free_ns_operator:
+            # assembled-SpMV fallback (``main.cc:351-364``; reference
+            # restricts it to non-Newton solvers)
+            if p.nonlinear_solver == "Newton":
+                raise ValueError(
+                    "matrix-based operator does not support Newton"
+                )
+            from ns_gls_tpu.ops.matrix_based import (
+                NavierStokesOperatorMatrixBased,
+            )
+
+            self.op = NavierStokesOperatorMatrixBased(self.op)
+
         # ---- preconditioner ------------------------------------------------
         self.mg_ops = []
         self.mg_transfers = []

@@ -94,6 +94,10 @@ class NavierStokesOperatorMatrixBased:
     def constraints_inhomogeneous(self):
         return self.op.constraints_inhomogeneous
 
+    @constraints_inhomogeneous.setter
+    def constraints_inhomogeneous(self, value):
+        self.op.constraints_inhomogeneous = value
+
     def set_linearization_point(self, u):
         self.op.set_linearization_point(u)
         self._ell = None

@@ -84,6 +84,24 @@ def test_channel_linearized():
     assert np.isfinite(np.asarray(d.solution.current)).all()
 
 
+def test_channel_matrix_based_operator():
+    """`use matrix free ns operator: false` — assembled-SpMV fallback
+    (reference ``main.cc:351-364``), cross-checked against the matrix-free
+    run."""
+    common = {
+        "simulation name": "channel",
+        "nonlinear solver": "linearized",
+        "lin relative tolerance": 1e-10,
+        "n global refinements": 0,
+    }
+    d_mb, _ = run_driver(dict(common, **{"use matrix free ns operator": False}),
+                         max_steps=2)
+    d_mf, _ = run_driver(common, max_steps=2)
+    a = np.asarray(d_mb.solution.current)
+    b = np.asarray(d_mf.solution.current)
+    assert np.allclose(a, b, atol=1e-7), np.abs(a - b).max()
+
+
 def test_channel_theta_scheme():
     d, _ = run_driver(
         {
