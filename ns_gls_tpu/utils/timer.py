@@ -96,6 +96,36 @@ def print_wall_time_statistics():
     _collection.print_all()
 
 
+def monitor(label: str = "", logger=print):
+    """Memory monitor (reference ``timer.h:24-54``): VmPeak/VmSize/VmHWM/
+    VmRSS from /proc/self/status plus device memory stats when available."""
+    stats = {}
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                for key in ("VmPeak", "VmSize", "VmHWM", "VmRSS"):
+                    if line.startswith(key):
+                        stats[key] = int(line.split()[1]) // 1024  # MB
+    except OSError:
+        pass
+    try:
+        import jax
+
+        for dev in jax.local_devices():
+            ms = dev.memory_stats() or {}
+            if "bytes_in_use" in ms:
+                stats[f"{dev.device_kind}:bytes_in_use"] = (
+                    ms["bytes_in_use"] // 2**20
+                )
+    except Exception:
+        pass
+    logger(
+        f"    [MONITOR] {label} "
+        + " ".join(f"{k}={v}MB" for k, v in stats.items())
+    )
+    return stats
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: str):
     """jax.profiler trace around a region (xprof-compatible)."""
