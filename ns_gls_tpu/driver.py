@@ -140,7 +140,18 @@ class Driver:
 
         with timer("setup::simulation"):
             sim = make_simulation(p.simulation_name, p.dim)
-            sim.parse_parameters(p.extra | {"nu": p.nu})
+            # each case re-parses shared keys, like the reference's
+            # two-phase ParameterHandler parsing (``simulation.cc:233-289``)
+            sim.parse_parameters(
+                p.extra
+                | {
+                    "nu": p.nu,
+                    "paraview prefix": p.paraview_prefix,
+                    "output granularity": p.output_granularity,
+                    "fe degree": p.fe_degree,
+                    "mapping degree": p.mapping_degree,
+                }
+            )
             self.sim = sim
             mesh = sim.create_mesh(p.n_global_refinements)
             self.mesh = mesh

@@ -85,6 +85,29 @@ def cylinder_mesh_2d(
     return mesh
 
 
+def cylinder_crossection_mesh(
+    length: float = 2.5,
+    height: float = 0.41,
+    cylinder_position: float = 0.5,
+    cylinder_diameter: float = 0.1,
+) -> Mesh:
+    """2D cross-section patch through the cylinder axis (reference
+    ``grid_cylinder.h:244-299``): rectangles left/right of the cylinder and
+    beside it, with a gap at the cylinder span; used (embedded in the y=0
+    plane) for 3D slice resampling."""
+    D = cylinder_diameter
+    H2 = height / 2.0
+    patches = [
+        subdivided_hyper_rectangle((1, 4), (-D, -H2), (-0.5 * D, H2)),
+        subdivided_hyper_rectangle((1, 4), (0.5 * D, -H2), (D, H2)),
+        subdivided_hyper_rectangle(
+            (18, 4), (D, -H2), (length - cylinder_position, H2)
+        ),
+        subdivided_hyper_rectangle((4, 4), (-cylinder_position, -H2), (-D, H2)),
+    ]
+    return merge_triangulations(patches, tol=1e-9)
+
+
 def cylinder_mesh_3d(
     length: float = 2.5,
     height: float = 0.41,

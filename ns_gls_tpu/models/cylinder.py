@@ -242,6 +242,78 @@ class SimulationCylinder(SimulationBase):
             scaling /= self.geometry_channel_height
         self._scaling = scaling
         self._history = []
+        self._slices = []
+        self._slice_counter = 0
+        if dim == 3 and self.paraview_prefix and self.output_granularity > 0:
+            self._setup_slices(space)
+
+    def _setup_slices(self, space):
+        """3D slice resampling (reference ``DataOutResample`` usage,
+        ``simulation.cc:555-639``): sample the 3D solution on (0) the
+        z=0 midplane copy of the 2D channel mesh and (1) the vertical
+        cross-section through the cylinder axis."""
+        from ns_gls_tpu.fem.element import tabulate_at as _tab
+        from ns_gls_tpu.fem.space import FESpace
+        from ns_gls_tpu.mesh.cylinder import (
+            cylinder_crossection_mesh,
+            cylinder_mesh_2d,
+        )
+        from ns_gls_tpu.utils.point_eval import locate_points_kd
+
+        kwargs = dict(
+            length=self.geometry_channel_length
+            + self.geometry_channel_extra_length,
+            height=self.geometry_channel_height,
+            cylinder_position=self.geometry_cylinder_position,
+            cylinder_diameter=self.geometry_cylinder_diameter,
+        )
+        n_ref = int(space.mesh.level)
+        patches = []
+        m0 = cylinder_mesh_2d(shift=self.geometry_cylinder_shift,
+                              for_3d=True, **kwargs)
+        if self.reset_manifold_level != -1:
+            m0.edge_manifold.clear()
+        patches.append((m0.refine_global(n_ref), "xy"))  # z = 0 midplane
+        patches.append(
+            (cylinder_crossection_mesh(**kwargs).refine_global(n_ref), "xz")
+        )
+
+        for mesh_p, plane in patches:
+            sp_p = FESpace(mesh_p, space.degree, 1)
+            pts3 = np.zeros((sp_p.n_nodes, 3))
+            if plane == "xy":
+                pts3[:, :2] = sp_p.node_pos
+            else:
+                pts3[:, 0] = sp_p.node_pos[:, 0]
+                pts3[:, 2] = sp_p.node_pos[:, 1]
+            cells, refs = locate_points_kd(space, pts3, k=24)
+            found = cells >= 0
+            safe_cells = np.where(found, cells, 0)
+            S = _tab(space.degree, 3, refs)[0]
+            nodes = space.cell_nodes[safe_cells]
+            self._slices.append(
+                dict(space=sp_p, points=pts3,
+                     S=S, nodes=nodes, found=found)
+            )
+
+    def write_slices(self, t, solution):
+        if not self._slices:
+            return
+        if (t + 1e-15) < self._slice_counter * self.output_granularity:
+            return
+        from ns_gls_tpu.utils.vtu import write_vtu
+
+        u = np.asarray(solution)
+        for c, sl in enumerate(self._slices):
+            vals = np.einsum("pi,pic->pc", sl["S"], u[sl["nodes"]])
+            vals[~sl["found"]] = 0.0
+            fname = (
+                f"{self.paraview_prefix}_slice_{c}_"
+                f"{self._slice_counter}.vtu"
+            )
+            write_vtu(fname, sl["space"], vals, time=t,
+                      points=sl["points"], n_comp=4)
+        self._slice_counter += 1
 
     def postprocess(self, t: float, solution):
         drag, lift = self._drag_lift(solution, self._facedata)
@@ -254,6 +326,8 @@ class SimulationCylinder(SimulationBase):
             p_diff=p_diff,
         )
         self._history.append(rec)
+        if self.dim == 3:
+            self.write_slices(t, solution)
         if self.paraview_prefix:
             fname = f"{self.paraview_prefix}_drag_lift_pressure.m"
             mode = "a" if len(self._history) > 1 else "w"

@@ -71,6 +71,56 @@ def locate_points(space: FESpace, points: np.ndarray, tol: float = 1e-8):
     return cells_out, refs_out
 
 
+def locate_points_kd(space: FESpace, points: np.ndarray, k: int = 16,
+                     tol: float = 1e-8):
+    """Vectorized point location for many points: cKDTree candidate search
+    over cell centers + batched Newton on the Q1 map, polished on the true
+    mapping.  Returns (cells, ref_coords); cell = -1 where not found."""
+    from scipy.spatial import cKDTree
+
+    points = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    dim = space.dim
+    n_p = len(points)
+    centers = space.map_points.mean(axis=1)
+    tree = cKDTree(centers)
+    _, cand = tree.query(points, k=min(k, len(centers)))
+    cand = np.atleast_2d(cand)
+
+    cells_out = np.full(n_p, -1, dtype=np.int64)
+    refs_out = np.full((n_p, dim), 0.5)
+
+    for rank in range(cand.shape[1]):
+        todo = cells_out < 0
+        if not todo.any():
+            break
+        idx = np.nonzero(todo)[0]
+        c = cand[idx, rank]
+        X = space.map_points[c]  # (m, n_map_loc, dim)
+        p = points[idx]
+        xi = np.full((len(idx), dim), 0.5)
+        for _ in range(30):
+            S, D = tabulate_at(space.mapping_degree, dim, xi)
+            x = np.einsum("mi,mix->mx", S, X)
+            J = np.einsum("mir,mix->mxr", D, X)
+            r = p - x
+            if (np.linalg.norm(r, axis=1) < tol).all():
+                break
+            try:
+                dxi = np.linalg.solve(J, r[:, :, None])[:, :, 0]
+            except np.linalg.LinAlgError:
+                dxi = np.zeros_like(xi)
+            xi = xi + np.clip(dxi, -0.5, 0.5)
+        ok = (
+            (np.linalg.norm(r, axis=1) < 1e-7)
+            & (xi > -1e-6).all(axis=1)
+            & (xi < 1 + 1e-6).all(axis=1)
+        )
+        hit = idx[ok]
+        cells_out[hit] = c[ok]
+        refs_out[hit] = np.clip(xi[ok], 0.0, 1.0)
+    return cells_out, refs_out
+
+
 class PointEvaluator:
     """Precompiled evaluation of (dim+1)-component fields at fixed points."""
 

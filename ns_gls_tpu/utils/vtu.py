@@ -87,26 +87,32 @@ def _b64(arr: np.ndarray) -> str:
     return base64.b64encode(header + raw).decode()
 
 
-def write_vtu(file_name: str, space, solution: np.ndarray, time: float = None):
-    """solution: (n_nodes, dim+1) -> fields 'u' (vector) and 'p'."""
+def write_vtu(file_name: str, space, solution: np.ndarray, time: float = None,
+              points: np.ndarray = None, n_comp: int = None):
+    """solution: (n_nodes, n_comp) -> fields 'u' (vector) and 'p'.
+
+    `points` optionally overrides node positions (e.g. a 2D patch space
+    embedded in 3D for slice outputs); `n_comp` overrides dim+1 when the
+    data dimensionality differs from the mesh dimensionality."""
     dim = space.dim
+    vdim = (n_comp - 1) if n_comp else dim
     degree = space.degree
     perm = _vtk_lagrange_order(degree, dim)
     n_c = space.mesh.n_cells
     n_loc = space.element.n_loc
 
-    pts = space.node_pos
-    if dim == 2:
+    pts = space.node_pos if points is None else np.asarray(points)
+    if pts.shape[1] == 2:
         pts = np.hstack([pts, np.zeros((len(pts), 1))])
     conn = space.cell_nodes[:, perm].astype(np.int64).reshape(-1)
     offsets = (np.arange(n_c, dtype=np.int64) + 1) * n_loc
     ctype = 70 if dim == 2 else 72  # VTK_LAGRANGE_QUAD / _HEXAHEDRON
     types = np.full(n_c, ctype, dtype=np.uint8)
 
-    u = solution[:, :dim].astype(np.float64)
-    if dim == 2:
+    u = solution[:, :vdim].astype(np.float64)
+    if vdim == 2:
         u = np.hstack([u, np.zeros((len(u), 1))])
-    p = solution[:, dim].astype(np.float64)
+    p = solution[:, vdim].astype(np.float64)
 
     with open(file_name, "w") as f:
         f.write('<?xml version="1.0"?>\n')
