@@ -114,9 +114,13 @@ class PreconditionerGMG:
             inv_d = args.inv_diags[level]
             om = args.omegas[level]
             la = args.level_args[level]
-            for _ in range(n_smooth):
-                x = x + om * inv_d * (b - level_fns[level](la, x))
-            return x
+
+            def body(_, x):
+                return x + om * inv_d * (b - level_fns[level](la, x))
+
+            # rolled loop keeps the HLO small (the V-cycle is inlined into
+            # the jitted GMRES; unrolled sweeps blow up remote compile)
+            return jax.lax.fori_loop(0, n_smooth, body, x)
 
         def vcycle_level(args, level, b):
             if level == 0:
