@@ -325,7 +325,10 @@ class Driver:
             coarse_grid_solver=p.gmg.coarse_grid_solver,
             coarse_grid_iterate=p.gmg.coarse_grid_iterate,
             coarse_grid_gmres_reltol=p.gmg.coarse_grid_gmres_reltol,
-            logger=self.log if p.gmg.output_details else None,
+            compute_evs_n_levels=p.gmg.compute_evs_n_levels,
+            logger=self.log
+            if (p.gmg.output_details or p.gmg.compute_evs_n_levels > 0)
+            else None,
         )
 
     def _pin_coarse_pressure(self, space_l, ca: ConstraintArrays):

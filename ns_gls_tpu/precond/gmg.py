@@ -53,6 +53,7 @@ class PreconditionerGMG:
         coarse_grid_solver: str = "direct",
         coarse_grid_iterate: bool = False,
         coarse_grid_gmres_reltol: float = 1e-4,
+        compute_evs_n_levels: int = 0,
         logger=None,
     ):
         self.level_ops = level_ops
@@ -65,6 +66,7 @@ class PreconditionerGMG:
         self.coarse_grid_solver = coarse_grid_solver
         self.coarse_grid_iterate = coarse_grid_iterate
         self.coarse_grid_gmres_reltol = coarse_grid_gmres_reltol
+        self.compute_evs_n_levels = compute_evs_n_levels
         self.logger = logger
         self.n_levels = len(level_ops)
         self._args: GMGArgs | None = None
@@ -198,6 +200,26 @@ class PreconditionerGMG:
                 self._coarse_amg.initialize()
                 coarse_lu = self._coarse_amg.vmult_args
                 self._coarse_kind = "amg"
+
+        # level-matrix eigenvalue diagnostics (``multigrid.cc:307-345``)
+        for lvl in range(min(self.compute_evs_n_levels, self.n_levels)):
+            op_l = self.level_ops[lvl]
+            n_l = op_l.n_nodes * op_l.n_comp
+            if n_l > 6000:
+                if self.logger:
+                    self.logger(
+                        f"    [M]  - level: {lvl}: skipping eigenvalues"
+                        f" ({n_l} dofs too large for dense analysis)"
+                    )
+                continue
+            A = assemble_dense(op_l)
+            D = np.asarray(inv_diags[lvl]).reshape(-1)
+            evs = np.sort(np.linalg.eigvals(D[:, None] * A).real)
+            if self.logger:
+                self.logger(
+                    f"    [M]  - level: {lvl}, ev_n: {len(evs)},"
+                    f" ev_min: {evs[0]:.4g}, ev_max: {evs[-1]:.4g}"
+                )
 
         self._args = GMGArgs(
             level_args=tuple(op.vmult_args for op in self.level_ops),
