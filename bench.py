@@ -102,7 +102,10 @@ def roofline_seconds(op, space, dtype) -> float:
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        f"/tmp/jax_cache_bench_{jax.default_backend()}",
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     show_all = "--all" in sys.argv

@@ -16,7 +16,10 @@ import time
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        f"/tmp/jax_cache_bench_{jax.default_backend()}",
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     n_ref = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
