@@ -143,7 +143,9 @@ def main():
                 "metric": "ns_vmult_mdof_per_s",
                 "value": round(mdofs, 2),
                 "unit": f"MDoF/s/chip (dim={dim} ref={refinements} Q{degree}, "
-                        f"{n_dofs} dofs, f32)",
+                        f"{n_dofs} dofs, f32; vs_baseline = fraction of the "
+                        "ideal HBM-roofline apply — no published reference "
+                        "numbers exist, see BASELINE.md)",
                 "vs_baseline": round(frac, 4),
             }
         )

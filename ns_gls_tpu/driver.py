@@ -198,6 +198,22 @@ class Driver:
             )
             self.op.constraints_inhomogeneous = self.csets.inhomogeneous_at(0.0)
 
+        if p.n_devices > 1:
+            # domain decomposition: shard the fine-level cell batch over a
+            # device mesh (SFC order + psum; SURVEY §2 parallelism table)
+            from ns_gls_tpu.parallel.sharding import (
+                ShardedOperator,
+                make_device_mesh,
+            )
+
+            devices = jax.devices()[: p.n_devices]
+            if len(devices) < p.n_devices:
+                raise ValueError(
+                    f"requested {p.n_devices} devices, have {len(jax.devices())}"
+                )
+            self.op_unsharded = self.op
+            self.op = ShardedOperator(self.op, make_device_mesh(devices))
+
         if not p.use_matrix_free_ns_operator:
             # assembled-SpMV fallback (``main.cc:351-364``; reference
             # restricts it to non-Newton solvers)
@@ -221,13 +237,19 @@ class Driver:
             elif p.preconditioner == "ILU":
                 from ns_gls_tpu.precond.ilu import PreconditionerILU
 
-                self.preconditioner = PreconditionerILU(self.op)
+                self.preconditioner = PreconditionerILU(
+                    getattr(self, "op_unsharded", self.op)
+                )
             elif p.preconditioner == "AMG":
                 from ns_gls_tpu.precond.amg import PreconditionerAMG
 
-                self.preconditioner = PreconditionerAMG(self.op)
+                self.preconditioner = PreconditionerAMG(
+                    getattr(self, "op_unsharded", self.op)
+                )
             elif p.preconditioner == "Jacobi":
-                self.preconditioner = PreconditionerJacobi(self.op)
+                self.preconditioner = PreconditionerJacobi(
+                    getattr(self, "op_unsharded", self.op)
+                )
             elif p.preconditioner == "identity":
                 self.preconditioner = PreconditionerIdentity()
             else:

@@ -207,6 +207,46 @@ class ShardedOperator:
             self.vmult_args, self.op.constraints_inhomogeneous, u
         )
 
+    def evaluate_rhs(self):
+        import jax.numpy as jnp
+
+        zero = jnp.zeros((self.n_nodes, self.n_comp), self.dtype)
+        return self._residual(
+            self.vmult_args, self.op.constraints_inhomogeneous, zero
+        )
+
+    # -- OperatorBase surface delegated to the wrapped operator ----------
+    def set_linearization_point(self, u):
+        self.op.set_linearization_point(u)
+
+    def set_previous_solution(self, history):
+        self.op.set_previous_solution(history)
+
+    def invalidate_system(self):
+        self.op.invalidate_system()
+
+    def update_weight(self):
+        self.op.update_weight()
+
+    def get_max_u(self, u):
+        return self.op.get_max_u(u)
+
+    @property
+    def constraints_homogeneous(self):
+        return self.op.constraints_homogeneous
+
+    @property
+    def constraints_inhomogeneous(self):
+        return self.op.constraints_inhomogeneous
+
+    @constraints_inhomogeneous.setter
+    def constraints_inhomogeneous(self, value):
+        self.op.constraints_inhomogeneous = value
+
+    @property
+    def space(self):
+        return self.op.space
+
     @property
     def dtype(self):
         return self.op.dtype

@@ -1,0 +1,48 @@
+"""Driver-level multi-device runs ('n devices' config key): the sharded
+time loop must reproduce the single-device solution."""
+
+import jax
+import numpy as np
+import pytest
+
+from ns_gls_tpu.config import Parameters
+from ns_gls_tpu.utils import logging as nslog
+
+nslog.set_verbose(False)
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+CFG = {
+    "dim": 2,
+    "fe degree": 1,
+    "n global refinements": 1,
+    "simulation name": "channel",
+    "cfl": 0.1,
+    "t final": 0.1,
+    "bdf order": 1,
+    "time intration": "bdf",
+    "nu": 0.01,
+    "consider time derivative": True,
+    "lin relative tolerance": 1e-8,
+    "preconditioner": "GMG",
+    "gmg coarse grid solver": "direct",
+    "nonlinear solver": "Newton",
+    "output granularity": 0.0,
+}
+
+
+@needs_8
+def test_sharded_driver_matches_single_device():
+    from ns_gls_tpu.driver import Driver
+
+    d1 = Driver(Parameters.from_dict(CFG))
+    d1.run(max_steps=2)
+
+    d8 = Driver(Parameters.from_dict(CFG | {"n devices": 8}))
+    d8.run(max_steps=2)
+
+    a = np.asarray(d1.solution.current)
+    b = np.asarray(d8.solution.current)
+    assert np.allclose(a, b, atol=1e-8), np.abs(a - b).max()
