@@ -13,7 +13,6 @@ DoF convention: scalar dof = node * n_comp + comp, on vectors stored as
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ import functools
 import numpy as np
 
 from ns_gls_tpu.fem.element import Element, tabulate_at
-from ns_gls_tpu.mesh.core import Mesh, _ekey, _fkey
+from ns_gls_tpu.mesh.core import Mesh, _fkey
 
 
 def _lattice_coords(n1: int, dim: int) -> np.ndarray:

@@ -4,7 +4,7 @@ geometry + boundary conditions + functionals per case."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import numpy as np
 

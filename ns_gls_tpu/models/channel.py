@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import numpy as np
-
 from ns_gls_tpu.mesh.generators import subdivided_hyper_rectangle
 from ns_gls_tpu.models.base import (
     BoundaryDescriptor,

@@ -4,8 +4,6 @@ no-slip on the outer boundary, boundary layer pre-refined once."""
 
 from __future__ import annotations
 
-import numpy as np
-
 from ns_gls_tpu.mesh.core import PolarManifold
 from ns_gls_tpu.mesh.generators import hyper_shell_2d
 from ns_gls_tpu.models.base import (

@@ -19,9 +19,6 @@ round-2 upgrade for very large meshes.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

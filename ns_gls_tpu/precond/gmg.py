@@ -20,7 +20,6 @@ factors, coarse LU), so Newton-step state updates never recompile it.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

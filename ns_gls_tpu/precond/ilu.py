@@ -13,7 +13,6 @@ round-trips to the host — prefer GMG (all benchmark configs do).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

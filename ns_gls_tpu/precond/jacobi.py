@@ -3,8 +3,6 @@ smoother preconditioner, ``multigrid.h:67-69``; PreconditionIdentity)."""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 
 def _jacobi_apply(inv_diag, x):
     return inv_diag * x
