@@ -2,8 +2,8 @@
 so long Re3900-style runs survive restarts).
 
 Serializes the pytree run state — SolutionHistory vectors, time-integrator
-internals, time, step counter — via orbax if available, else a plain
-npz fallback.
+internals, time, step counter.  Two backends: orbax (async-capable,
+multi-host-aware; used when importable) and a plain npz fallback.
 """
 
 from __future__ import annotations
@@ -12,6 +12,15 @@ import json
 import os
 
 import numpy as np
+
+
+def _orbax():
+    try:
+        import orbax.checkpoint as ocp
+
+        return ocp
+    except Exception:
+        return None
 
 
 def save_checkpoint(path: str, driver, t: float, counter: int) -> None:
@@ -35,7 +44,14 @@ def save_checkpoint(path: str, driver, t: float, counter: int) -> None:
     )
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path + ".npz", **state)
+    ocp = _orbax()
+    if ocp is not None:
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(
+            os.path.abspath(path) + ".orbax", state, force=True
+        )
+    else:
+        np.savez(path + ".npz", **state)
     with open(path + ".json", "w") as f:
         json.dump(meta, f)
 
@@ -46,7 +62,13 @@ def load_checkpoint(path: str, driver) -> tuple[float, int]:
 
     with open(path + ".json") as f:
         meta = json.load(f)
-    data = np.load(path + ".npz")
+    ocp = _orbax()
+    if ocp is not None and os.path.exists(os.path.abspath(path) + ".orbax"):
+        data = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(path) + ".orbax"
+        )
+    else:
+        data = np.load(path + ".npz")
     for i in range(meta["n_vectors"]):
         driver.solution.vectors[i] = jnp.asarray(
             data[f"solution_{i}"], driver.params.dtype
