@@ -140,26 +140,37 @@ class PreconditionerAMG:
 
         dtype = op.dtype
         levels = []
+        # hierarchy reuse: aggregates (and hence all shapes) are frozen at
+        # the first initialize; later calls only refresh matrix values —
+        # pytree structure stays stable, so downstream jits never recompile
+        reuse = getattr(self, "_frozen_aggs", None)
+        frozen_aggs = [] if reuse is None else reuse
+        lvl_idx = 0
         for _ in range(self.max_levels):
-            if A.shape[0] <= self.max_coarse * C:
+            if reuse is None and A.shape[0] <= self.max_coarse * C:
                 break
-            # node-block strength graph: collapse components
+            if reuse is not None and lvl_idx >= len(reuse):
+                break
             nn = A.shape[0] // C
-            # build scalar graph: |block| via the (0,0) component pattern +
-            # Frobenius of blocks (approximate: sum |a_ij| within block)
-            Ai = abs(A)
-            comp_sum = None
-            for c1 in range(C):
-                for c2 in range(C):
-                    blk = Ai[c1::C, c2::C]
-                    comp_sum = blk if comp_sum is None else comp_sum + blk
-            agg_nodes, n_agg = _strength_aggregates(
-                comp_sum.tocsr(), self.theta
-            )
-            # P: dof (node, comp) -> (aggregate, comp)
-            agg_dofs = (
-                np.repeat(agg_nodes, C) * C + np.tile(np.arange(C), nn)
-            )
+            if reuse is None:
+                # node-block strength graph: collapse components
+                Ai = abs(A)
+                comp_sum = None
+                for c1 in range(C):
+                    for c2 in range(C):
+                        blk = Ai[c1::C, c2::C]
+                        comp_sum = blk if comp_sum is None else comp_sum + blk
+                agg_nodes, n_agg = _strength_aggregates(
+                    comp_sum.tocsr(), self.theta
+                )
+                # P: dof (node, comp) -> (aggregate, comp)
+                agg_dofs = (
+                    np.repeat(agg_nodes, C) * C + np.tile(np.arange(C), nn)
+                )
+                frozen_aggs.append((agg_dofs, n_agg))
+            else:
+                agg_dofs, n_agg = reuse[lvl_idx]
+            lvl_idx += 1
             P = sp.coo_matrix(
                 (np.ones(A.shape[0]), (np.arange(A.shape[0]), agg_dofs)),
                 shape=(A.shape[0], n_agg * C),
@@ -186,6 +197,7 @@ class PreconditionerAMG:
         lu = jax.scipy.linalg.lu_factor(jnp.asarray(A.todense()))
         self._args = AMGArgs(levels=tuple(levels), coarse_lu=tuple(lu))
         self._n_levels = len(levels)
+        self._frozen_aggs = frozen_aggs
 
     # ------------------------------------------------------------------
     def _build_vcycle(self):
