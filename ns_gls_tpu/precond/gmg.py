@@ -184,7 +184,7 @@ class PreconditionerGMG:
         coarse_lu = ()
         n_coarse = self.level_ops[0].n_nodes * self.level_ops[0].n_comp
         if self.coarse_grid_solver in ("direct", "ILU", "AMG"):
-            if self.coarse_grid_solver == "direct" and n_coarse <= 20000:
+            if self.coarse_grid_solver == "direct" and n_coarse <= 8000:
                 A = assemble_dense(self.level_ops[0])  # f64 host
                 lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(A))
                 coarse_lu = (lu, piv)
