@@ -21,5 +21,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: repeated test runs skip XLA recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+# (backend-specific dir: entries from TPU-attached processes carry CPU
+# machine-feature flags that mis-load elsewhere)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/tmp/jax_cache_tests_{jax.default_backend()}",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
