@@ -297,11 +297,15 @@ class Driver:
 
     # ------------------------------------------------------------------
     def _setup_gmg(self, sim, bcs, mapping_degree, increment_form, mg_dtype):
-        """Geometric coarsening sequence: level meshes are the uniform
-        refinement generations (``main.cc:396-568``)."""
+        """Geometric coarsening sequence (``main.cc:396-568``): the level
+        meshes are the refinement *generation chain* of the final mesh
+        (each level is literally the ``refine()`` of the previous one, so
+        MG transfers come straight from the stored parent maps — also
+        correct for adaptively refined hierarchies)."""
         p = self.params
-        meshes = [sim.create_mesh(l) for l in range(p.n_global_refinements)]
-        meshes.append(self.mesh)
+        meshes = [self.mesh]
+        while meshes[0].prev is not None:
+            meshes.insert(0, meshes[0].prev)
         self.mg_spaces = []
         self.mg_csets = []
         self.mg_ops = []

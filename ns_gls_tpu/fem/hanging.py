@@ -120,24 +120,32 @@ def hanging_node_constraints(space: FESpace):
         loc = space.face_node_lattice(fi)
         fnodes = space.cell_nodes[ci, loc]
         pos = space.node_pos[fnodes]
-        # find the owning coarse face via bbox + inverse map
+        lvl_fine = mesh.cell_level[ci]
+        h_fine = np.linalg.norm(
+            mesh.vertices[mesh.cells[ci, 0]]
+            - mesh.vertices[mesh.cells[ci, -1]]
+        )
+        # find the owning coarse face via bbox + face-projected inverse map
         for node, p in zip(fnodes, pos):
             node = int(node)
             if node in seen:
                 continue
             for cj, fj, lo, hi in cf_info:
-                pad = 1e-8 + 1e-6 * np.abs(hi - lo).max()
+                if mesh.cell_level[cj] >= lvl_fine:
+                    continue
+                pad = 1e-8 + 0.2 * np.abs(hi - lo).max()
                 if ((p < lo - pad) | (p > hi + pad)).any():
                     continue
-                cell_verts = mesh.vertices[mesh.cells[cj]]
-                xi = _inverse_q1(cell_verts, p)
+                xi = _project_to_face(mesh, cj, fj, p)
                 if xi is None:
                     continue
-                if ((xi < -1e-6) | (xi > 1 + 1e-6)).any():
-                    continue
-                # must lie ON the face fj of the coarse cell
-                fdir, fside = fj // 2, fj % 2
-                if abs(xi[fdir] - fside) > 1e-6:
+                # distance of the node to the (possibly chordal) coarse
+                # face: curved interfaces put hanging vertices off the Q1
+                # surface; deal.II's constraint is topological, and the
+                # face projection reproduces exactly its parametric weights
+                S1, _ = _q1_tab(xi[None, :], mesh.dim)
+                x_face = S1[0] @ mesh.vertices[mesh.cells[cj]]
+                if np.linalg.norm(x_face - p) > 0.3 * h_fine:
                     continue
                 S, _ = tabulate_at(deg, mesh.dim, np.clip(xi, 0, 1)[None, :])
                 w = S[0]
@@ -150,3 +158,32 @@ def hanging_node_constraints(space: FESpace):
                 break
             seen.add(node)
     return out
+
+
+def _project_to_face(mesh, cj, fj, p, tol=1e-10):
+    """Gauss-Newton on the coarse cell's Q1 map restricted to face fj:
+    find the in-face reference coords closest to p.  Returns the full-dim
+    xi (with xi[fdir] pinned to the face) or None."""
+    dim = mesh.dim
+    fdir, fside = fj // 2, fj % 2
+    free = [d for d in range(dim) if d != fdir]
+    verts = mesh.vertices[mesh.cells[cj]]
+    xi = np.full(dim, 0.5)
+    xi[fdir] = float(fside)
+    for _ in range(40):
+        S, D = _q1_tab(xi[None, :], dim)
+        x = S[0] @ verts
+        J = np.einsum("ir,ix->xr", D[0], verts)  # dx/dxi
+        r = p - x
+        Jf = J[:, free]  # (dim, dim-1)
+        try:
+            dxi_f, *_ = np.linalg.lstsq(Jf, r, rcond=None)
+        except np.linalg.LinAlgError:
+            return None
+        if np.linalg.norm(dxi_f) < tol:
+            break
+        for a, d in enumerate(free):
+            xi[d] += float(np.clip(dxi_f[a], -0.5, 0.5))
+    if ((xi[free] < -1e-6) | (xi[free] > 1 + 1e-6)).any():
+        return None
+    return xi

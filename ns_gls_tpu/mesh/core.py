@@ -115,6 +115,8 @@ class Mesh:
     cell_level: np.ndarray = None        # (n_c,) per-cell refinement level
     parent_cell: np.ndarray = None       # (n_c,) parent in previous mesh
     parent_child: np.ndarray = None      # (n_c,) child index, -1 = carried
+    # previous generation (the GMG geometric-coarsening chain)
+    prev: "Mesh" = dataclasses.field(default=None, repr=False)
 
     def __post_init__(self):
         if self.cell_level is None:
@@ -391,6 +393,7 @@ class Mesh:
             cell_level=levels,
             parent_cell=parent,
             parent_child=pchild,
+            prev=self,
         )
 
     def _refine_3d(self, flags) -> "Mesh":
@@ -550,6 +553,7 @@ class Mesh:
             cell_level=levels,
             parent_cell=parent,
             parent_child=pchild,
+            prev=self,
         )
 
     def refine_global(self, n: int) -> "Mesh":
