@@ -57,6 +57,17 @@ class ConstraintSetBuilder:
 
         hanging = hanging_node_constraints(space)
 
+        # all-Dirichlet problems (e.g. the rotation case) have a floating
+        # constant-pressure mode: pin one pressure dof so every level's
+        # system is nonsingular (the reference leaves the fine level
+        # singular and relies on Krylov behavior; pinning is equivalent up
+        # to the constant and far more robust)
+        pin_pressure = not (
+            bcs.all_homogeneous_nbcs
+            or bcs.all_outflow_bcs_cut
+            or bcs.all_outflow_bcs_nitsche
+        )
+
         def build(include_inhom_rows: bool):
             b = AffineConstraints(space.n_nodes, dim + 1)
             for bid in bcs.all_homogeneous_dbcs:
@@ -75,6 +86,11 @@ class ConstraintSetBuilder:
             # hanging nodes last (reference order, ``main.cc:273-293``)
             for node, masters, weights in hanging:
                 b.add_hanging_node(node, None, masters, weights)
+            if pin_pressure:
+                for n in range(space.n_nodes):
+                    if not b.is_constrained(b.dof(n, dim)):
+                        b.add_line(b.dof(n, dim))
+                        break
             return b
 
         self.full = build(False).close(dtype)

@@ -7,9 +7,13 @@ the interpolation of the coarse side's basis:
     u(hanging node at x) = sum_j N_j^coarse(xi(x)) u(coarse node j).
 
 Interfaces are found topologically (unmatched interior faces) and paired
-geometrically (inverse Q1 map of the coarse cell) — curved hanging
-interfaces are not supported (the shipped cases only refine adaptively
-across flat interfaces, e.g. the Hoffmann extra-length wake cut).
+geometrically by PROJECTING each fine-side node onto the coarse cell's Q1
+face (Gauss-Newton on the face-restricted map).  Projection (rather than
+exact inversion) also handles curved interfaces — e.g. the boundary-refined
+polar-manifold annulus of rotation.json, where manifold-placed hanging
+vertices sit on the arc while the coarse Q1 face is the chord; the
+projected parametric weights reproduce deal.II's topological constraint
+weights exactly.
 """
 
 from __future__ import annotations

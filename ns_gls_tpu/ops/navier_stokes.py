@@ -545,7 +545,11 @@ class NavierStokesOperator:
             if self.needs_face_integrals:
                 r = self._boundary_sweep(batch, faces, state, tmp, r,
                                          residual_form=True)
-            r = cstr.set_zero(ch, r)
+            # Cᵀ on the write side as well (deal.II distribute_local_to_
+            # global resolves constraints when scattering the residual):
+            # master rows must receive the hanging-slave contributions or
+            # the residual is inconsistent with the vmult Jacobian.
+            r = cstr.condense_transpose(ch, r)
             return -r
 
         self._vmult = jax.jit(vmult_fn)

@@ -185,7 +185,9 @@ class ShardedOperator:
             batch, state = args
             tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
             r = sweep_res(batch, state, tmp)
-            return -cstr.set_zero(ch, r)
+            # Cᵀ on the write side (matches NavierStokesOperator.residual):
+            # master rows must receive hanging-slave contributions.
+            return -cstr.condense_transpose(ch, r)
 
         self.vmult_pure = vmult_fn
         self._vmult = jax.jit(vmult_fn)

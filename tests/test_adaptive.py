@@ -103,6 +103,60 @@ def test_hanging_operator_consistency():
     assert np.allclose(lhs, rhs, atol=1e-10), np.abs(lhs - rhs).max()
 
 
+def test_hanging_residual_jacobian_consistency():
+    """Finite-difference check: d/deps residual(u + eps v) == vmult(v) on a
+    mesh WITH hanging nodes.  Regression for the missing write-side Cᵀ in
+    the residual path: master rows must receive hanging-slave contributions
+    (deal.II ``distribute_local_to_global`` semantics) or Newton's Jacobian
+    is inconsistent with the residual and diverges (seen on rotation.json)."""
+    from ns_gls_tpu.fem.constraints import set_zero
+    from ns_gls_tpu.ops.navier_stokes import NavierStokesOperator
+    from ns_gls_tpu.ops.time_integration import BDFIntegrator, SolutionHistory
+
+    m2 = adaptive_mesh(2)
+    sp = FESpace(m2, 1)
+    C = 3
+    b = AffineConstraints(sp.n_nodes, C)
+    b.add_dirichlet(sp.boundary_nodes([0]), [0, 1])
+    for node, masters, weights in hanging_node_constraints(sp):
+        b.add_hanging_node(node, None, masters, weights)
+    ca = b.close()
+
+    ti = BDFIntegrator(1)
+    ti.update_dt(0.01)
+    op = NavierStokesOperator(sp, ca, ca, nu=0.05, c_1=4.0, c_2=0.0,
+                              time_integrator=ti,
+                              consider_time_derivative=True,
+                              increment_form=True,
+                              cell_wise_stabilization=False)
+    op.constraints_inhomogeneous = ca
+    rng = np.random.default_rng(0)
+    u0 = distribute(ca, jnp.asarray(rng.standard_normal((sp.n_nodes, C))))
+    hist = SolutionHistory([u0, 0.8 * u0])
+    op.set_previous_solution(hist)
+    op.set_linearization_point(u0)
+    frozen = (op.state.delta1, op.state.delta2)
+
+    def residual_at(w):
+        op.set_linearization_point(w)
+        op.state = op.state._replace(delta1=frozen[0], delta2=frozen[1])
+        return op.evaluate_residual(w)
+
+    v = jnp.asarray(rng.standard_normal(u0.shape))
+    v = distribute(ca, set_zero(ca, v), homogeneous=True)
+    eps = 1e-6
+    fd = (residual_at(u0 - eps * v) - residual_at(u0 + eps * v)) / (2 * eps)
+    op.set_linearization_point(u0)
+    op.state = op.state._replace(delta1=frozen[0], delta2=frozen[1])
+    jv = op.vmult(set_zero(ca, v))
+    mask = np.ones(u0.size, bool)
+    mask[np.asarray(ca.rows)] = False
+    err = np.abs(
+        np.asarray(fd).reshape(-1)[mask] - np.asarray(jv).reshape(-1)[mask]
+    ).max()
+    assert err < 1e-6, err
+
+
 def test_adaptive_transfer():
     """Prolongation on an adaptive pair must reproduce coarse-space
     polynomials exactly (carried cells via identity)."""
