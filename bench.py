@@ -137,6 +137,32 @@ def main():
             file=sys.stderr,
         )
 
+        # vector mass+Laplace matrix-free lane — the bandwidth-roofline
+        # proxy ("poisson::vmult::mf", performance.cc:97-142): same gather/
+        # evaluate/integrate structure, trivial q-point physics
+        from ns_gls_tpu.ops.navier_stokes import fe_evaluate, fe_integrate
+
+        batch = op.batch
+
+        def poisson_apply(b, v):
+            v_loc = v[b.cell_nodes]
+            val, grad = fe_evaluate(b.S, b.D, b.jinv, v_loc)
+            r_loc = fe_integrate(b.S, b.D, b.jinv, b.jxw, val, grad)
+            C = v.shape[1]
+            flat = r_loc.reshape(-1, C)
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((1, C), v.dtype)], axis=0
+            )
+            parts = [flat[idx].sum(axis=1) for idx in b.node_gather]
+            return jnp.concatenate(parts, axis=0)
+
+        dt_po = time_apply(poisson_apply, batch, u)
+        print(
+            f"poisson::vmult::mf {n_dofs / dt_po / 1e6:7.1f} MDoF/s"
+            f"  ({dt_po * 1e3:.3f} ms)",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {

@@ -39,6 +39,7 @@ class GMGParameters:
     # coarse-grid solver type: AMG|ILU|direct|identity
     coarse_grid_solver: str = "AMG"
     coarse_grid_iterate: bool = True
+    coarse_grid_amg_default_parameters: bool = True
 
     # coarse-grid GMRES
     coarse_grid_gmres_maxiter: int = 10000
@@ -51,6 +52,8 @@ class GMGParameters:
         "gmg smoothing n iterations": "smoothing_n_iterations",
         "gmg coarse grid solver": "coarse_grid_solver",
         "gmg coarse grid iterate": "coarse_grid_iterate",
+        "gmg coarse grid amg use default parameters":
+            "coarse_grid_amg_default_parameters",
         "gmg coarse grid gmres reltol": "coarse_grid_gmres_reltol",
     }
 

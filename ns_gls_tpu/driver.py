@@ -326,9 +326,15 @@ class Driver:
         self.mg_csets = []
         self.mg_ops = []
         for lvl, mesh_l in enumerate(meshes):
+            # "gmg coarse grid use fe q iso q1" (``main.cc:396-568``,
+            # FE_Q_iso_Q1): coarsest-level operator on piecewise-Q1 shape
+            # functions over the same node lattice -> Q1-sparse coarse
+            # matrix for the AMG/LU coarse solve, identical DoFs so the
+            # transfers and constraints are unchanged.
+            iso = p.mg_use_fe_q_iso_q1 and lvl == 0 and mesh_l is not self.mesh
             space_l = (
                 self.space if mesh_l is self.mesh
-                else FESpace(mesh_l, p.fe_degree, mapping_degree)
+                else FESpace(mesh_l, p.fe_degree, mapping_degree, iso_q1=iso)
             )
             self.mg_spaces.append(space_l)
             cs = ConstraintSetBuilder(space_l, bcs, mg_dtype)
@@ -367,6 +373,9 @@ class Driver:
             coarse_grid_solver=p.gmg.coarse_grid_solver,
             coarse_grid_iterate=p.gmg.coarse_grid_iterate,
             coarse_grid_gmres_reltol=p.gmg.coarse_grid_gmres_reltol,
+            coarse_amg_default_parameters=(
+                p.gmg.coarse_grid_amg_default_parameters
+            ),
             compute_evs_n_levels=p.gmg.compute_evs_n_levels,
             logger=self.log
             if (p.gmg.output_details or p.gmg.compute_evs_n_levels > 0)

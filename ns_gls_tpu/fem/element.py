@@ -165,6 +165,128 @@ class Element:
         return -1.0 if face % 2 == 0 else 1.0
 
 
+def _pw_linear_eval(nodes: np.ndarray, x: np.ndarray):
+    """Piecewise-linear ("hat") basis on the 1D lattice `nodes`; values and
+    derivatives at points x.  Returns (V, G): (n_pts, n_nodes) each."""
+    nodes = np.asarray(nodes, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    k = len(nodes) - 1
+    s = np.clip(np.searchsorted(nodes, x, side="right") - 1, 0, k - 1)
+    h = nodes[s + 1] - nodes[s]
+    t = (x - nodes[s]) / h
+    rows = np.arange(len(x))
+    V = np.zeros((len(x), k + 1))
+    G = np.zeros((len(x), k + 1))
+    V[rows, s] = 1.0 - t
+    V[rows, s + 1] += t
+    G[rows, s] = -1.0 / h
+    G[rows, s + 1] += 1.0 / h
+    return V, G
+
+
+def _iso_q1_rule_1d(nodes: np.ndarray):
+    """2-point Gauss per sub-interval of `nodes` (the QIterated analogue on
+    the support lattice): exact for products of piecewise-linear factors."""
+    q1, w1 = gauss_points_1d(2)
+    pts, wts = [], []
+    for a, b in zip(nodes[:-1], nodes[1:]):
+        pts.append(a + (b - a) * q1)
+        wts.append((b - a) * w1)
+    return np.concatenate(pts), np.concatenate(wts)
+
+
+def tabulate_iso_q1_at(degree: int, dim: int, points: np.ndarray):
+    """Tabulate the piecewise-Q1 basis (same lattice as Q_degree) at
+    arbitrary reference points."""
+    nodes = gauss_lobatto_points_1d(degree + 1)
+    n1 = degree + 1
+    n_loc = n1**dim
+    n_pts = len(points)
+    vals_d, ders_d = [], []
+    for d in range(dim):
+        v, g = _pw_linear_eval(nodes, points[:, d])
+        vals_d.append(v)
+        ders_d.append(g)
+    S = np.ones((n_pts, n_loc))
+    D = np.zeros((n_pts, n_loc, dim))
+    idx = np.arange(n_loc)
+    comp = []
+    rem = idx.copy()
+    for d in range(dim):
+        comp.append(rem % n1)
+        rem //= n1
+    for d in range(dim):
+        S *= vals_d[d][:, comp[d]]
+    for r in range(dim):
+        Dr = np.ones((n_pts, n_loc))
+        for d in range(dim):
+            tab = ders_d[d] if d == r else vals_d[d]
+            Dr *= tab[:, comp[d]]
+        D[:, :, r] = Dr
+    return S, D
+
+
+@dataclasses.dataclass(frozen=True)
+class IsoQ1Element(Element):
+    """FE_Q_iso_Q1-style element ("gmg coarse grid use fe q iso q1",
+    reference ``main.cc`` GMG coarse level; deal.II ``FE_Q_iso_Q1``):
+    the SAME node lattice as Q_degree, but piecewise-multilinear shape
+    functions on the degree**dim sub-cells, integrated with a 2-point
+    Gauss rule per sub-cell.  Node positions coincide with the Q_k space's,
+    so transfers and constraints carry over unchanged while the coarse
+    operator gets a Q1-sparse stencil (cheaper coarse AMG/LU)."""
+
+    @functools.cached_property
+    def _rule_1d(self):
+        return _iso_q1_rule_1d(gauss_lobatto_points_1d(self.degree + 1))
+
+    @property
+    def n_q(self) -> int:
+        return (2 * self.degree) ** self.dim
+
+    @functools.cached_property
+    def q_points(self) -> np.ndarray:
+        return lex_points(self._rule_1d[0], self.dim)
+
+    @functools.cached_property
+    def q_weights(self) -> np.ndarray:
+        w = self._rule_1d[1]
+        out = np.ones(1)
+        for _ in range(self.dim):
+            out = np.kron(w, out)
+        return out
+
+    @functools.cached_property
+    def tables(self):
+        return tabulate_iso_q1_at(self.degree, self.dim, self.q_points)
+
+    @functools.cached_property
+    def face_q_weights(self) -> np.ndarray:
+        w = self._rule_1d[1]
+        out = np.ones(1)
+        for _ in range(self.dim - 1):
+            out = np.kron(w, out)
+        return out
+
+    def face_q_points(self, face: int) -> np.ndarray:
+        q = self._rule_1d[0]
+        fdir, fside = face // 2, face % 2
+        free = [d for d in range(self.dim) if d != fdir]
+        pts_f = lex_points(q, self.dim - 1)
+        pts = np.empty((len(pts_f), self.dim))
+        pts[:, fdir] = float(fside)
+        for a, d in enumerate(free):
+            pts[:, d] = pts_f[:, a]
+        return pts
+
+    @functools.cached_property
+    def face_tables(self):
+        return [
+            tabulate_iso_q1_at(self.degree, self.dim, self.face_q_points(f))
+            for f in range(self.n_faces)
+        ]
+
+
 def embedding_matrix(degree: int, dim: int) -> np.ndarray:
     """Prolongation embedding: value of coarse basis functions at the
     support points of each of the 2**dim children.

@@ -243,13 +243,17 @@ class FESpace:
     """Vector-valued (dim+1 components) equal-order Q_k space on a Mesh."""
 
     def __init__(self, mesh: Mesh, degree: int, mapping_degree: int | None = None,
-                 n_q1d: int | None = None):
+                 n_q1d: int | None = None, iso_q1: bool = False):
+        from ns_gls_tpu.fem.element import IsoQ1Element
+
         self.mesh = mesh
         self.dim = mesh.dim
         self.degree = degree
         self.mapping_degree = mapping_degree or degree
         self.n_q1d = n_q1d or (degree + 1)
-        self.element = Element(self.dim, degree, self.n_q1d)
+        self.iso_q1 = iso_q1
+        el_cls = IsoQ1Element if iso_q1 else Element
+        self.element = el_cls(self.dim, degree, self.n_q1d)
         self.map_element = Element(self.dim, self.mapping_degree, self.n_q1d)
         self._build()
 
@@ -336,10 +340,11 @@ class FESpace:
         optionally restricted to given boundary ids (the postprocess
         functionals use their own fixed rule, like the reference's
         ``QGauss<dim-1>(3)``, ``simulation.cc:451``)."""
-        from ns_gls_tpu.fem.element import Element
+        from ns_gls_tpu.fem.element import Element, IsoQ1Element
 
         mesh, dim = self.mesh, self.dim
-        el = Element(dim, self.degree, n_q1d)
+        el_cls = IsoQ1Element if getattr(self, "iso_q1", False) else Element
+        el = el_cls(dim, self.degree, n_q1d)
         # stored ids, not topology: on adaptive meshes hanging interfaces
         # also look "unmatched" topologically but are not boundaries
         c, f = np.nonzero(mesh.boundary_ids >= 0)

@@ -52,6 +52,7 @@ class PreconditionerGMG:
         coarse_grid_solver: str = "direct",
         coarse_grid_iterate: bool = False,
         coarse_grid_gmres_reltol: float = 1e-4,
+        coarse_amg_default_parameters: bool = True,
         compute_evs_n_levels: int = 0,
         logger=None,
     ):
@@ -65,7 +66,9 @@ class PreconditionerGMG:
         self.coarse_grid_solver = coarse_grid_solver
         self.coarse_grid_iterate = coarse_grid_iterate
         self.coarse_grid_gmres_reltol = coarse_grid_gmres_reltol
+        self.coarse_amg_default_parameters = coarse_amg_default_parameters
         self.compute_evs_n_levels = compute_evs_n_levels
+        self._coarse_kind = ""
         self.logger = logger
         self.n_levels = len(level_ops)
         self._args: GMGArgs | None = None
@@ -81,9 +84,14 @@ class PreconditionerGMG:
 
         def coarse_apply(args: GMGArgs, r):
             """One application of the coarse preconditioner: dense LU for
-            small coarse problems ("direct"), aggregation-AMG V-cycle
-            otherwise (the reference's coarse AMG, ``multigrid.cc:372-433``)."""
-            if coarse_kind == "identity" or not args.coarse_lu:
+            small coarse problems ("direct"), host-side ILU ("ILU",
+            ``multigrid.cc:435-460``), aggregation-AMG V-cycle otherwise
+            (the reference's coarse AMG, ``multigrid.cc:372-433``)."""
+            if coarse_kind == "identity":
+                return r
+            if self._coarse_kind == "ilu":
+                return self._coarse_ilu.vmult_pure((), r)
+            if not args.coarse_lu:
                 return r
             if self._coarse_kind == "lu":
                 lu, piv = args.coarse_lu
@@ -183,19 +191,38 @@ class PreconditionerGMG:
 
         coarse_lu = ()
         n_coarse = self.level_ops[0].n_nodes * self.level_ops[0].n_comp
-        if self.coarse_grid_solver in ("direct", "ILU", "AMG"):
+        if self.coarse_grid_solver == "ILU":
+            # host-side SuperLU ILU on the assembled coarse matrix
+            # (``multigrid.cc:435-460`` Trilinos ILU coarse solver)
+            from ns_gls_tpu.precond.ilu import PreconditionerILU
+
+            if not hasattr(self, "_coarse_ilu"):
+                self._coarse_ilu = PreconditionerILU(self.level_ops[0])
+            self._coarse_ilu.initialize()
+            self._coarse_kind = "ilu"
+        elif self.coarse_grid_solver in ("direct", "AMG"):
             if self.coarse_grid_solver == "direct" and n_coarse <= 8000:
                 A = assemble_dense(self.level_ops[0])  # f64 host
                 lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(A))
                 coarse_lu = (lu, piv)
                 self._coarse_kind = "lu"
             else:
-                # large coarse problems / AMG & ILU requests: aggregation
-                # AMG on the assembled coarse matrix (all-device apply)
+                # large coarse problems / AMG requests: aggregation AMG on
+                # the assembled coarse matrix (all-device apply); "use
+                # default parameters" false = the reference's tuned ML set
+                # (``multigrid.cc:398-433``) -> stronger aggregation here
                 from ns_gls_tpu.precond.amg import PreconditionerAMG
 
                 if not hasattr(self, "_coarse_amg"):
-                    self._coarse_amg = PreconditionerAMG(self.level_ops[0])
+                    kw = (
+                        {}
+                        if self.coarse_amg_default_parameters
+                        else {"theta": 0.02, "n_smooth": 3,
+                              "max_coarse": 1000}
+                    )
+                    self._coarse_amg = PreconditionerAMG(
+                        self.level_ops[0], **kw
+                    )
                 self._coarse_amg.initialize()
                 coarse_lu = self._coarse_amg.vmult_args
                 self._coarse_kind = "amg"

@@ -74,6 +74,82 @@ def test_gmg_iterative_coarse():
     assert d.linear_solver.last_iterations < 40
 
 
+def test_gmg_ilu_coarse():
+    """Coarse solver \"ILU\" (``multigrid.cc:435-460``): host SuperLU ILU
+    applied through pure_callback inside the jitted V-cycle."""
+    d = run(
+        {
+            "preconditioner": "GMG",
+            "gmg coarse grid solver": "ILU",
+            "nonlinear solver": "Newton",
+            "lin relative tolerance": 1e-4,
+        },
+        max_steps=2,
+    )
+    assert d.linear_solver.last_iterations < 40
+
+
+def test_gmg_amg_coarse_tuned_parameters():
+    """\"gmg coarse grid amg use default parameters\": false selects the
+    tuned aggregation set (``multigrid.cc:398-433``)."""
+    d = run(
+        {
+            "preconditioner": "GMG",
+            "gmg coarse grid solver": "AMG",
+            "gmg coarse grid iterate": True,
+            "gmg coarse grid amg use default parameters": False,
+            "nonlinear solver": "Newton",
+            "lin relative tolerance": 1e-4,
+        },
+        max_steps=2,
+    )
+    assert d.linear_solver.last_iterations < 60
+
+
+def test_iso_q1_element_tables():
+    """FE_Q_iso_Q1 coarse element: partition of unity and exact
+    reproduction of linear fields at the sub-cell quadrature points."""
+    from ns_gls_tpu.fem.element import IsoQ1Element
+
+    for dim in (2, 3):
+        for deg in (2, 3):
+            el = IsoQ1Element(dim, deg, deg + 1)
+            S, D = el.tables
+            assert S.shape == ((2 * deg) ** dim, (deg + 1) ** dim)
+            np.testing.assert_allclose(S.sum(1), 1.0, atol=1e-13)
+            np.testing.assert_allclose(D.sum(1), 0.0, atol=1e-12)
+            # linear field u = a.x reproduced exactly (values + gradients)
+            a = np.arange(1, dim + 1, dtype=float)
+            u_nodes = el.support_points @ a
+            np.testing.assert_allclose(S @ u_nodes, el.q_points @ a,
+                                       atol=1e-13)
+            np.testing.assert_allclose(
+                np.einsum("qik,i->qk", D, u_nodes),
+                np.tile(a, ((2 * deg) ** dim, 1)), atol=1e-12)
+            # the sub-cell rule integrates piecewise-bilinear masses exactly:
+            # total measure = 1
+            np.testing.assert_allclose(el.q_weights.sum(), 1.0, atol=1e-13)
+
+
+def test_gmg_fe_q_iso_q1_coarse():
+    """GMG with the coarse level on FE_Q_iso_Q1 (sphere configs,
+    \"gmg coarse grid use fe q iso q1\": true)."""
+    d = run(
+        {
+            "fe degree": 2,
+            "preconditioner": "GMG",
+            "gmg coarse grid solver": "direct",
+            "gmg coarse grid use fe q iso q1": True,
+            "nonlinear solver": "Newton",
+            "lin relative tolerance": 1e-4,
+        },
+        max_steps=2,
+    )
+    assert d.mg_spaces[0].iso_q1
+    assert not d.mg_spaces[-1].iso_q1
+    assert d.linear_solver.last_iterations < 40
+
+
 def test_bench_helpers():
     import bench
 
