@@ -465,7 +465,7 @@ class Driver:
                 self.mg_ops[l].set_previous_solution(hist_l[l])
 
     # ------------------------------------------------------------------
-    def run(self, max_steps: int = 10**9):
+    def run(self, max_steps: int = 10**9, resume: bool = False):
         p = self.params
         if not getattr(self, "_setup_done", False):
             self.setup()
@@ -475,10 +475,27 @@ class Driver:
         min_dx = self.mesh.minimal_cell_diameter()
         records = []
 
-        self._output(t)
-        rec = self.sim.postprocess(t, self.solution.current)
-        if rec:
-            records.append(rec)
+        if resume:
+            # restart from the last checkpoint (new capability, SURVEY
+            # §5.4: the reference always restarts from t=0)
+            from ns_gls_tpu.utils.checkpoint import load_checkpoint
+
+            if not p.checkpoint_prefix:
+                raise ValueError("resume requested but no 'checkpoint prefix'")
+            t, counter = load_checkpoint(p.checkpoint_prefix, self)
+            if p.output_granularity > 0:
+                self._output_counter = int(t / p.output_granularity) + 1
+            self._checkpoint_counter = (
+                int(t / p.checkpoint_granularity) + 1
+                if p.checkpoint_granularity > 0
+                else 0
+            )
+            self.log(f"    [C] resumed from t = {t:.6g} (cycle {counter})")
+        else:
+            self._output(t)
+            rec = self.sim.postprocess(t, self.solution.current)
+            if rec:
+                records.append(rec)
 
         while t < p.t_final and counter <= max_steps:
             with timer("loop"):
@@ -522,11 +539,34 @@ class Driver:
                 if rec:
                     records.append(rec)
                 counter += 1
+                self._checkpoint(t, counter)
 
                 if self.time_integrator.order == 0:
                     break
 
         return records
+
+    # ------------------------------------------------------------------
+    _checkpoint_counter = 1
+
+    def _checkpoint(self, t, counter, force=False):
+        """Honor 'checkpoint prefix' / 'checkpoint granularity' (SURVEY
+        §5.4 — new vs the reference): rolling save of the solution history
+        + integrator state, restorable via ``run(resume=True)``."""
+        p = self.params
+        if not p.checkpoint_prefix:
+            return
+        if p.checkpoint_granularity > 0 and not force:
+            if (t + 1e-15) < self._checkpoint_counter * p.checkpoint_granularity:
+                return
+        elif not force:
+            return  # prefix set but granularity 0: checkpoint only on demand
+        from ns_gls_tpu.utils.checkpoint import save_checkpoint
+
+        with timer("postprocess::checkpoint"):
+            save_checkpoint(p.checkpoint_prefix, self, t=t, counter=counter)
+        self.log(f"    [C] checkpoint saved (t = {t:.6g})")
+        self._checkpoint_counter += 1
 
     # ------------------------------------------------------------------
     _output_counter = 0

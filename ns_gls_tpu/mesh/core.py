@@ -117,6 +117,12 @@ class Mesh:
     parent_child: np.ndarray = None      # (n_c,) child index, -1 = carried
     # previous generation (the GMG geometric-coarsening chain)
     prev: "Mesh" = dataclasses.field(default=None, repr=False)
+    # structured-patch metadata (TPU fast path): per-cell integer lattice
+    # coordinates within a logically-Cartesian patch, and the patch's cell
+    # counts per axis. Set by structured generators, propagated through
+    # *global* refinement, dropped on adaptive refinement/merging.
+    lattice: np.ndarray = None           # (n_c, dim) int64 or None
+    lattice_shape: tuple = None          # cells per axis or None
 
     def __post_init__(self):
         if self.cell_level is None:
@@ -251,9 +257,16 @@ class Mesh:
         if flags is None:
             flags = np.ones(self.n_cells, dtype=bool)
         flags = self.smooth_flags(np.asarray(flags, dtype=bool))
-        if self.dim == 2:
-            return self._refine_2d(flags)
-        return self._refine_3d(flags)
+        new = self._refine_2d(flags) if self.dim == 2 else self._refine_3d(flags)
+        if self.lattice is not None and flags.all():
+            # children are x-fastest (child index c: offset_d = (c>>d)&1)
+            offs = np.stack(
+                [(new.parent_child >> d) & 1 for d in range(self.dim)],
+                axis=1,
+            )
+            new.lattice = 2 * self.lattice[new.parent_cell] + offs
+            new.lattice_shape = tuple(2 * n for n in self.lattice_shape)
+        return new
 
     def smooth_flags(self, flags: np.ndarray) -> np.ndarray:
         """Expand refinement flags so vertex-adjacent cells never differ by
@@ -591,4 +604,5 @@ class Mesh:
             parent_child=(
                 None if self.parent_child is None else self.parent_child[perm]
             ),
+            lattice=None if self.lattice is None else self.lattice[perm],
         )

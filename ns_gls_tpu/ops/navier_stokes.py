@@ -85,6 +85,9 @@ class NSState(NamedTuple):
     """
 
     weight: jnp.ndarray        # () primary BDF/theta weight
+    stau: jnp.ndarray          # () 1/dt for the stabilization parameters
+    #                            (dynamic: dt varies under CFL control, so
+    #                            it must NOT be baked into jitted traces)
     u_star: jnp.ndarray        # (n_c, n_q, d)
     grad_u_star: jnp.ndarray   # (n_c, n_q, d, d)
     grad_p_star: jnp.ndarray   # (n_c, n_q, d)
@@ -272,6 +275,7 @@ class NavierStokesOperator:
         )
         return NSState(
             weight=jnp.asarray(0.0, self.dtype),
+            stau=jnp.asarray(0.0, self.dtype),
             u_star=z((n_c, tq, d)),
             grad_u_star=z((n_c, tq, d, d)),
             grad_p_star=z((n_c, tq, d)),
@@ -438,7 +442,9 @@ class NavierStokesOperator:
             cq["u_old_grad"] = ograd[..., :d, :]
             cq["p_old_grad"] = ograd[..., d, :]
         if not self.cell_wise_stabilization:
-            cq["delta1"], cq["delta2"] = self._penalty_impl(b, u_star)
+            cq["delta1"], cq["delta2"] = self._penalty_impl(
+                b, u_star, state.stau
+            )
         return cq
 
     def _cell_sweep(self, b: CellBatch, state: NSState, u,
@@ -471,49 +477,60 @@ class NavierStokesOperator:
         r = jnp.zeros((self.n_nodes, self.n_comp), self.dtype)
         return r.at[b.cell_nodes].add(r_loc)
 
+    def face_block_terms(self, fb, u_loc, face_velocity, face_target,
+                         residual_form: bool):
+        """Weak outflow terms for ONE face block (``do_vmult_boundary``,
+        ``operator_ns.cc:1195-1301``): u_loc (n_bf, n_loc, C) -> r_loc of
+        the same shape. ``fb`` may be any NamedTuple carrying the FaceBlock
+        geometry fields (the sharded path passes a face-sharded view)."""
+        d = self.dim
+        nu = self.nu
+        val, grad = fe_evaluate(fb.S, fb.D, fb.jinv, u_loc)
+        u_val = val[..., :d]
+        u_grad = grad[..., :d, :]
+        beta = fb.beta_eff[:, None]
+
+        # -- directional do-nothing ("cut") faces
+        star = u_val if residual_form else face_velocity
+        normal_outflux = jnp.minimum(
+            0.0, jnp.einsum("fqa,fqa->fq", star, fb.normals)
+        )
+        val_res_cut = (beta * normal_outflux)[..., None] * u_val
+
+        # -- Nitsche faces
+        u_eff = u_val
+        if residual_form:
+            u_eff = u_val - face_target
+        val_res_nit = beta[..., None] * u_eff - nu * jnp.einsum(
+            "fqai,fqi->fqa", u_grad, fb.normals
+        )
+        grad_res_nit = -nu * u_eff[..., :, None] * fb.normals[..., None, :]
+
+        mask_cut = fb.is_cut[:, None, None]
+        mask_nit = fb.is_nitsche[:, None, None]
+        val_res_u = jnp.where(mask_cut, val_res_cut, 0.0) + jnp.where(
+            mask_nit, val_res_nit, 0.0
+        )
+        grad_res_u = jnp.where(mask_nit[..., None], grad_res_nit, 0.0)
+
+        val_res = jnp.concatenate(
+            [val_res_u, jnp.zeros_like(val[..., d:])], axis=-1
+        )
+        grad_res = jnp.concatenate(
+            [grad_res_u, jnp.zeros_like(grad[..., d:, :])], axis=-2
+        )
+        return fe_integrate(fb.S, fb.D, fb.jinv, fb.jxw, val_res, grad_res)
+
     def _boundary_sweep(self, b: CellBatch, faces, state: NSState, u, r,
                         residual_form: bool):
         """Weak outflow boundary terms (``do_vmult_boundary``,
         ``operator_ns.cc:1195-1301``)."""
-        d = self.dim
-        nu = self.nu
         for k, fb in enumerate(faces):
             u_loc = u[b.cell_nodes[fb.cells]]  # (n_bf, n_loc, C)
-            val, grad = fe_evaluate(fb.S, fb.D, fb.jinv, u_loc)
-            u_val = val[..., :d]
-            u_grad = grad[..., :d, :]
-            beta = fb.beta_eff[:, None]
-
-            # -- directional do-nothing ("cut") faces
-            star = u_val if residual_form else state.face_velocity[k]
-            normal_outflux = jnp.minimum(
-                0.0, jnp.einsum("fqa,fqa->fq", star, fb.normals)
+            r_loc = self.face_block_terms(
+                fb, u_loc, state.face_velocity[k], state.face_target[k],
+                residual_form,
             )
-            val_res_cut = (beta * normal_outflux)[..., None] * u_val
-
-            # -- Nitsche faces
-            u_eff = u_val
-            if residual_form:
-                u_eff = u_val - state.face_target[k]
-            val_res_nit = beta[..., None] * u_eff - nu * jnp.einsum(
-                "fqai,fqi->fqa", u_grad, fb.normals
-            )
-            grad_res_nit = -nu * u_eff[..., :, None] * fb.normals[..., None, :]
-
-            mask_cut = fb.is_cut[:, None, None]
-            mask_nit = fb.is_nitsche[:, None, None]
-            val_res_u = jnp.where(mask_cut, val_res_cut, 0.0) + jnp.where(
-                mask_nit, val_res_nit, 0.0
-            )
-            grad_res_u = jnp.where(mask_nit[..., None], grad_res_nit, 0.0)
-
-            val_res = jnp.concatenate(
-                [val_res_u, jnp.zeros_like(val[..., d:])], axis=-1
-            )
-            grad_res = jnp.concatenate(
-                [grad_res_u, jnp.zeros_like(grad[..., d:, :])], axis=-2
-            )
-            r_loc = fe_integrate(fb.S, fb.D, fb.jinv, fb.jxw, val_res, grad_res)
             r = r.at[b.cell_nodes[fb.cells]].add(r_loc)
         return r
 
@@ -603,14 +620,16 @@ class NavierStokesOperator:
             if self.cell_wise_stabilization:
                 u_loc = u[batch.cell_nodes][..., :d]
                 u_star = jnp.einsum("qi,eic->eqc", batch.S, u_loc)
-                delta1, delta2 = self._penalty_impl(batch, u_star)
+                delta1, delta2 = self._penalty_impl(
+                    batch, u_star, state.stau
+                )
                 new = new._replace(delta1=delta1, delta2=delta2)
             return new
         val, grad = self._evaluate_tables(batch, u)
         u_star = val[..., :d]
         grad_u_star = grad[..., :d, :]
         grad_p_star = grad[..., d, :]
-        delta1, delta2 = self._penalty_impl(batch, u_star)
+        delta1, delta2 = self._penalty_impl(batch, u_star, state.stau)
         return state._replace(
             u_star=u_star,
             grad_u_star=grad_u_star,
@@ -624,12 +643,12 @@ class NavierStokesOperator:
         u_loc = u[batch.cell_nodes[fb.cells]]
         return jnp.einsum("qi,fic->fqc", fb.S, u_loc)
 
-    def _penalty_impl(self, batch, u_star):
+    def _penalty_impl(self, batch, u_star, stau):
         """delta_1/delta_2 (``compute_penalty_parameters``,
-        ``operator_ns.cc:357-420``); stau = 1/dt passed via state-free
-        closure over the host-side current dt."""
-        tau = self.time_integrator.current_dt
-        stau = 0.0 if tau == 0.0 else 1.0 / tau
+        ``operator_ns.cc:357-420``); stau = 1/dt is a DYNAMIC argument —
+        dt changes every step under CFL control and must not be baked
+        into the jitted trace (round-2 fix: the checkpoint/resume e2e
+        exposed stale-dt stabilization)."""
         nu, c1, c2 = self.nu, self.c_1, self.c_2
         u_norm2 = (u_star**2).sum(-1)  # (n_c, n_q)
         if self.cell_wise_stabilization:
@@ -653,6 +672,7 @@ class NavierStokesOperator:
 
     def set_linearization_point(self, u):
         self._valid_system = False
+        self.update_weight()  # keep weight + stau in sync with current dt
         self.state = self._set_lin(
             self.batch, self.face_blocks, self.state, u
         )
@@ -714,13 +734,15 @@ class NavierStokesOperator:
         self.state = self._set_prev(
             self.batch, self.state, vec_old, history.vectors[1]
         )
-        self.state = self.state._replace(
-            weight=jnp.asarray(self.time_integrator.primary_weight, self.dtype)
-        )
+        self.update_weight()
 
     def update_weight(self):
+        tau = self.time_integrator.current_dt
         self.state = self.state._replace(
-            weight=jnp.asarray(self.time_integrator.primary_weight, self.dtype)
+            weight=jnp.asarray(
+                self.time_integrator.primary_weight, self.dtype
+            ),
+            stau=jnp.asarray(0.0 if tau == 0.0 else 1.0 / tau, self.dtype),
         )
 
     # -- diagnostics -------------------------------------------------------

@@ -19,6 +19,8 @@ round-2 upgrade for very large meshes.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +31,25 @@ from ns_gls_tpu.fem import constraints as cstr
 from ns_gls_tpu.ops.navier_stokes import CellBatch, NavierStokesOperator, NSState
 
 AXIS = "cells"
+
+
+class ShardedFaceBlock(NamedTuple):
+    """FaceBlock view for the sharded path: the cell indirection is
+    pre-resolved into per-face node indices (``nodes``) so faces can be
+    sharded independently of cells — ``u`` is replicated, contributions
+    are combined by the same psum as the cell sweep. Carries the FaceBlock
+    geometry fields so ``NavierStokesOperator.face_block_terms`` accepts it
+    (weak-outflow terms, ``operator_ns.cc:1195-1301``)."""
+
+    S: jnp.ndarray          # (n_fq, n_loc)            replicated
+    D: jnp.ndarray          # (n_fq, n_loc, dim)       replicated
+    nodes: jnp.ndarray      # (n_bf, n_loc) int32      face-sharded
+    jxw: jnp.ndarray        # (n_bf, n_fq)             face-sharded (0 on pad)
+    normals: jnp.ndarray    # (n_bf, n_fq, dim)
+    jinv: jnp.ndarray       # (n_bf, n_fq, dim, dim)
+    beta_eff: jnp.ndarray   # (n_bf,)
+    is_cut: jnp.ndarray     # (n_bf,) bool (False on pad)
+    is_nitsche: jnp.ndarray  # (n_bf,) bool (False on pad)
 
 
 def make_device_mesh(devices=None) -> Mesh:
@@ -86,12 +107,56 @@ class ShardedOperator:
         )
         self._shard = shard
         self._repl = repl
+
+        # weak-outflow face blocks: resolve the cell indirection to node
+        # indices, pad each block to a device multiple, shard the face axis
+        # (pad faces contribute exactly zero: jxw = 0 and both masks False)
+        self.face_blocks: tuple[ShardedFaceBlock, ...] = ()
+        self._face_pads: tuple[int, ...] = ()
+        if op.needs_face_integrals:
+            sblocks, pads = [], []
+            cell_nodes_np = np.asarray(op.batch.cell_nodes)
+            for fb in op.face_blocks:
+                n_bf = int(fb.cells.shape[0])
+                n_pad = (-n_bf) % n_dev
+                pads.append(n_pad)
+
+                def padf(x, fill=0):
+                    return _pad_cells(x, n_pad, fill=fill)
+
+                nodes = jnp.asarray(cell_nodes_np[np.asarray(fb.cells)])
+                sblocks.append(
+                    ShardedFaceBlock(
+                        S=jax.device_put(fb.S, repl),
+                        D=jax.device_put(fb.D, repl),
+                        nodes=jax.device_put(padf(nodes), shard),
+                        jxw=jax.device_put(padf(fb.jxw), shard),
+                        normals=jax.device_put(padf(fb.normals), shard),
+                        jinv=jax.device_put(padf(fb.jinv), shard),
+                        beta_eff=jax.device_put(padf(fb.beta_eff), shard),
+                        is_cut=jax.device_put(
+                            padf(fb.is_cut, fill=False), shard
+                        ),
+                        is_nitsche=jax.device_put(
+                            padf(fb.is_nitsche, fill=False), shard
+                        ),
+                    )
+                )
+            self.face_blocks = tuple(sblocks)
+            self._face_pads = tuple(pads)
         self._build()
 
     def shard_state(self, state: NSState) -> NSState:
-        """Pad + shard the per-cell linearization tables."""
+        """Pad + shard the per-cell linearization tables (and the per-face
+        Nitsche/cut tables, sharded on the face axis)."""
         def f(x):
             return jax.device_put(_pad_cells(x, self.n_pad), self._shard)
+
+        def ff(tup):
+            return tuple(
+                jax.device_put(_pad_cells(x, n_pad), self._shard)
+                for x, n_pad in zip(tup, self._face_pads)
+            )
 
         return state._replace(
             u_star=f(state.u_star),
@@ -102,7 +167,10 @@ class ShardedOperator:
             p_old_grad=f(state.p_old_grad),
             delta1=f(state.delta1),
             delta2=f(state.delta2),
+            face_velocity=ff(state.face_velocity),
+            face_target=ff(state.face_target),
             weight=jax.device_put(state.weight, self._repl),
+            stau=jax.device_put(state.stau, self._repl),
             u_lin=jax.device_put(state.u_lin, self._repl),
             vec_old=jax.device_put(state.vec_old, self._repl),
             u_old=jax.device_put(state.u_old, self._repl),
@@ -117,7 +185,7 @@ class ShardedOperator:
 
         from ns_gls_tpu.ops.navier_stokes import fe_evaluate, fe_integrate
 
-        def local_sweep(batch, state, u_eff, residual_form):
+        def local_sweep(batch, faces, state, u_eff, residual_form):
             if op.fuse_tables:
                 cq = op._fused_cq(batch, state)
             else:
@@ -142,20 +210,36 @@ class ShardedOperator:
             )
             r = jnp.zeros((n_nodes, n_comp), op.dtype)
             r = r.at[batch.cell_nodes].add(r_loc)
+            # weak-outflow face integrals (each device owns a face slice;
+            # combined by the same psum as the cell contributions)
+            for k, fb in enumerate(faces):
+                fr_loc = op.face_block_terms(
+                    fb, u_eff[fb.nodes], state.face_velocity[k],
+                    state.face_target[k], residual_form,
+                )
+                r = r.at[fb.nodes].add(fr_loc)
             return jax.lax.psum(r, AXIS)
 
         batch_specs = CellBatch(
             S=P(), D=P(), jinv=P(AXIS), jxw=P(AXIS), cell_nodes=P(AXIS),
             h_min_vertex=P(AXIS), h_q=P(AXIS), node_gather=(),
         )
+        face_specs = tuple(
+            ShardedFaceBlock(
+                S=P(), D=P(), nodes=P(AXIS), jxw=P(AXIS), normals=P(AXIS),
+                jinv=P(AXIS), beta_eff=P(AXIS), is_cut=P(AXIS),
+                is_nitsche=P(AXIS),
+            )
+            for _ in self.face_blocks
+        )
 
         def state_specs(state):
             return state._replace(
                 u_star=P(AXIS), grad_u_star=P(AXIS), grad_p_star=P(AXIS),
                 dt_u_old=P(AXIS), u_old_grad=P(AXIS), p_old_grad=P(AXIS),
-                delta1=P(AXIS), delta2=P(AXIS), weight=P(),
-                face_velocity=tuple(P() for _ in state.face_velocity),
-                face_target=tuple(P() for _ in state.face_target),
+                delta1=P(AXIS), delta2=P(AXIS), weight=P(), stau=P(),
+                face_velocity=tuple(P(AXIS) for _ in state.face_velocity),
+                face_target=tuple(P(AXIS) for _ in state.face_target),
                 u_lin=P(), vec_old=P(), u_old=P(),
             )
 
@@ -163,11 +247,11 @@ class ShardedOperator:
 
         def make(residual_form):
             return shard_map(
-                lambda batch, state, u: local_sweep(
-                    batch, state, u, residual_form
+                lambda batch, faces, state, u: local_sweep(
+                    batch, faces, state, u, residual_form
                 ),
                 mesh=mesh,
-                in_specs=(batch_specs, sspecs, P()),
+                in_specs=(batch_specs, face_specs, sspecs, P()),
                 out_specs=P(),
             )
 
@@ -175,16 +259,16 @@ class ShardedOperator:
         sweep_res = make(True)
 
         def vmult_fn(args, u):
-            batch, state = args
+            batch, faces, state = args
             u_eff = cstr.distribute(ch, u, homogeneous=True)
-            r = sweep_lin(batch, state, u_eff)
+            r = sweep_lin(batch, faces, state, u_eff)
             r = cstr.condense_transpose(ch, r)
             return cstr.copy_constrained(ch, r, u)
 
         def residual_fn(args, ca_inhom, u):
-            batch, state = args
+            batch, faces, state = args
             tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
-            r = sweep_res(batch, state, tmp)
+            r = sweep_res(batch, faces, state, tmp)
             # Cᵀ on the write side (matches NavierStokesOperator.residual):
             # master rows must receive hanging-slave contributions.
             return -cstr.condense_transpose(ch, r)
@@ -196,7 +280,9 @@ class ShardedOperator:
     # ------------------------------------------------------------------
     @property
     def vmult_args(self):
-        return (self.batch, self.shard_state(self.op.state))
+        return (
+            self.batch, self.face_blocks, self.shard_state(self.op.state)
+        )
 
     def vmult(self, u):
         return self._vmult(self.vmult_args, u)

@@ -84,15 +84,13 @@ def test_sfc_order_is_permutation():
     assert sorted(perm.tolist()) == list(range(m.n_cells))
 
 
-@pytest.mark.skipif(
-    not os.path.exists("/root/reference/mesh/sphere.msh"),
-    reason="gmsh asset not available",
-)
 def test_gmsh_reader():
     from ns_gls_tpu.mesh.gmsh import read_msh
 
-    m = read_msh("/root/reference/mesh/sphere.msh")
-    assert m.n_cells == 1024
+    # repo fixture (tools/make_sphere_fixture.py)
+    m = read_msh(os.path.join(os.path.dirname(__file__), "..", "meshes",
+                              "sphere.msh"))
+    assert m.n_cells == 48
     bf = m.compute_boundary_faces()
     ids = m.boundary_ids[bf[:, 0], bf[:, 1]]
     assert set(np.unique(ids)) == {0, 1, 2, 3}

@@ -41,6 +41,72 @@ def test_dryrun_multichip():
 
 
 @needs_8
+def test_sharded_face_integrals_match():
+    """Weak-outflow face integrals (cut + Nitsche) must survive sharding:
+    sharded vmult/residual ≡ single-device on an operator with
+    ``needs_face_integrals`` (round-1 VERDICT weak #1; reference
+    ``operator_ns.cc:849-879, 1195-1301``)."""
+    from ns_gls_tpu.fem.constraints import AffineConstraints, distribute
+    from ns_gls_tpu.fem.space import FESpace
+    from ns_gls_tpu.mesh.generators import subdivided_hyper_rectangle
+    from ns_gls_tpu.ops.navier_stokes import NavierStokesOperator
+    from ns_gls_tpu.ops.time_integration import BDFIntegrator, SolutionHistory
+    from ns_gls_tpu.parallel.sharding import ShardedOperator, make_device_mesh
+
+    dtype = jnp.float64
+    mesh = subdivided_hyper_rectangle(
+        (4, 1), (0.0, 0.0), (4.0, 1.0), colorize=True
+    ).refine_global(1)
+    space = FESpace(mesh, 1)
+    b = AffineConstraints(space.n_nodes, 3)
+    inflow = space.boundary_nodes([0])
+    b.add_dirichlet(inflow, [0, 1], values=[[1.0, 0.0]] * len(inflow))
+    b.add_dirichlet(space.boundary_nodes([2]), [0, 1])
+    ca = b.close(dtype)
+
+    def target(pts, d):
+        return np.where(d == 0, 4.0 * pts[:, 1] * (1.0 - pts[:, 1]), 0.0)
+
+    ti = BDFIntegrator(1)
+    ti.update_dt(0.05)
+    op = NavierStokesOperator(
+        space, ca, ca, nu=0.01, c_1=4.0, c_2=2.0, time_integrator=ti,
+        increment_form=True, cell_wise_stabilization=True,
+        outflow_bcs_cut={1}, outflow_bcs_nitsche={3: target}, dtype=dtype,
+    )
+    assert op.needs_face_integrals and op.face_blocks
+    op.constraints_inhomogeneous = ca
+
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(0.1 * rng.standard_normal((space.n_nodes, 3)), dtype)
+    u = distribute(ca, u)
+    op.set_previous_solution(SolutionHistory([u, u]))
+    op.set_linearization_point(u)
+
+    mesh_d = make_device_mesh(jax.devices()[:8])
+    sop = ShardedOperator(op, mesh_d)
+
+    v = jnp.asarray(rng.standard_normal(u.shape))
+    a = np.asarray(op.vmult(v))
+    bb = np.asarray(sop.vmult(v))
+    assert np.allclose(a, bb, atol=1e-12), np.abs(a - bb).max()
+
+    ra = np.asarray(op.evaluate_residual(u))
+    rb = np.asarray(sop.evaluate_residual(u))
+    assert np.allclose(ra, rb, atol=1e-12), np.abs(ra - rb).max()
+
+    # the faces must actually contribute (guard against a silent no-op)
+    op_noface = NavierStokesOperator(
+        space, ca, ca, nu=0.01, c_1=4.0, c_2=2.0, time_integrator=ti,
+        increment_form=True, cell_wise_stabilization=True, dtype=dtype,
+    )
+    op_noface.constraints_inhomogeneous = ca
+    op_noface.set_previous_solution(SolutionHistory([u, u]))
+    op_noface.set_linearization_point(u)
+    assert not np.allclose(np.asarray(op_noface.vmult(v)), a, atol=1e-10)
+
+
+@needs_8
 def test_sharded_nonuniform_padding():
     """Cell count not divisible by device count: padding must not change
     results."""

@@ -10,7 +10,9 @@ from ns_gls_tpu.utils import logging as nslog
 
 nslog.set_verbose(False)
 
-MESH = "/root/reference/mesh/sphere.msh"
+MESH = os.path.join(
+    os.path.dirname(__file__), "..", "meshes", "sphere.msh"
+)  # repo fixture (tools/make_sphere_fixture.py)
 
 
 @pytest.mark.slow
@@ -88,3 +90,44 @@ def test_checkpoint_roundtrip(tmp_path):
         assert np.allclose(np.asarray(a), np.asarray(b))
     assert np.isclose(d2.time_integrator.current_dt,
                       d.time_integrator.current_dt)
+
+
+def test_kill_and_resume_matches_uninterrupted(tmp_path):
+    """Driver-level checkpoint/resume e2e (VERDICT r1 #6): run 2 steps with
+    rolling checkpoints, resume a fresh Driver from disk, run 2 more —
+    the trajectory must match an uninterrupted 4-step run."""
+    from ns_gls_tpu.driver import Driver
+
+    cfg = {
+        "dim": 2,
+        "fe degree": 1,
+        "n global refinements": 1,
+        "simulation name": "channel",
+        "cfl": 0.1,
+        "t final": 1.0,
+        "bdf order": 2,
+        "time intration": "bdf",
+        "c1": 2.0,
+        "c2": 1.0,
+        "nu": 0.01,
+        "consider time derivative": True,
+        "lin relative tolerance": 1e-4,
+        "preconditioner": "GMG",
+        "gmg coarse grid solver": "direct",
+        "nonlinear solver": "Newton",
+        "output granularity": 0.0,
+        "checkpoint prefix": str(tmp_path / "ckpt"),
+        "checkpoint granularity": 1e-9,  # every step
+    }
+    ref = Driver(Parameters.from_dict(dict(cfg, **{"checkpoint prefix": ""})))
+    ref.run(max_steps=4)
+
+    d1 = Driver(Parameters.from_dict(cfg))
+    d1.run(max_steps=2)
+
+    d2 = Driver(Parameters.from_dict(cfg))
+    d2.run(max_steps=4, resume=True)  # cycles 3..4 (counter resumes at 3)
+
+    a = np.asarray(ref.solution.current)
+    b = np.asarray(d2.solution.current)
+    assert np.allclose(a, b, atol=1e-12), np.abs(a - b).max()
