@@ -265,16 +265,55 @@ class FESpace:
         # 1) mapping support points
         self.map_points = _MappingBuilder(mesh, self.mapping_degree).build()
 
-        # 2) global node numbering: dedup on Q1-lattice positions
+        # 2) global node numbering
         from ns_gls_tpu.utils import native
 
-        S1 = _q1_shape(el.support_points)  # (n_loc, 2**dim)
-        q1_pos = np.einsum("li,cid->cld", S1, mesh.vertices[mesh.cells])
-        tol = max(mesh.cell_min_vertex_distance().min() / 64.0, 1e-12)
-        key = np.round(q1_pos.reshape(-1, dim) / tol).astype(np.int64)
-        ids, n_unique = native.unique_rows(key)
-        self.cell_nodes = ids.reshape(mesh.n_cells, el.n_loc).astype(np.int32)
-        self.n_nodes = n_unique
+        self.structured = (
+            mesh.lattice is not None and not self.iso_q1
+        )
+        if self.structured:
+            # structured patch: nodes ARE a lattice. The numbering is the
+            # TPU fast path's storage layout (ops/structured.py): x is the
+            # innermost (lane) axis, and the y/z lattice coordinates are
+            # grouped by their residue class mod degree ("parity classes":
+            # classes 1..P-1 of n entries, then class 0 of n+1 entries).
+            # With class-grouped rows, the sum-factorized unfold becomes
+            # static CONTIGUOUS slices and the fold becomes concats — no
+            # strided accesses anywhere in the kernel.
+            p = self.degree
+            self.cell_shape = tuple(mesh.lattice_shape)
+            self.node_shape = tuple(p * n + 1 for n in self.cell_shape)
+            loc = np.asarray(
+                np.round(el.support_points * p), dtype=np.int64
+            )  # (n_loc, dim) integer offsets, x fastest
+            coords = p * mesh.lattice[:, None, :] + loc[None, :, :]
+
+            def class_rank(i, n):
+                """lattice index (0..p*n) -> class-grouped rank."""
+                k = i % p
+                e = i // p
+                off = np.where(k >= 1, (k - 1) * n, (p - 1) * n)
+                return off + e
+
+            ids = coords[..., 0].copy()  # x natural
+            mult = self.node_shape[0]
+            for d in range(1, dim):
+                n_d = self.cell_shape[d]
+                ids += class_rank(coords[..., d], n_d) * mult
+                mult *= self.node_shape[d]
+            self.cell_nodes = ids.astype(np.int32)
+            self.n_nodes = int(np.prod(self.node_shape))
+        else:
+            # general unstructured: dedup on Q1-lattice positions
+            S1 = _q1_shape(el.support_points)  # (n_loc, 2**dim)
+            q1_pos = np.einsum("li,cid->cld", S1, mesh.vertices[mesh.cells])
+            tol = max(mesh.cell_min_vertex_distance().min() / 64.0, 1e-12)
+            key = np.round(q1_pos.reshape(-1, dim) / tol).astype(np.int64)
+            ids, n_unique = native.unique_rows(key)
+            self.cell_nodes = ids.reshape(
+                mesh.n_cells, el.n_loc
+            ).astype(np.int32)
+            self.n_nodes = n_unique
 
         # 3) true node positions (isoparametric): evaluate the mapping at
         # the FE support points; first-writer wins for shared nodes
@@ -310,6 +349,12 @@ class FESpace:
         # parts" #1).  Nodes are RENUMBERED by contribution count so each
         # count-class gets a dense (n_class, K_class) gather table with no
         # padding waste (XLA TPU gathers cost ~constant per row).
+        if self.structured:
+            # lattice numbering must be preserved (it IS the fast path's
+            # gather); the general sweep on structured spaces falls back
+            # to scatter-add, which only tests/CPU paths use
+            self.node_gather_classes = []
+            return
         counts, _ = native.transpose_map(self.cell_nodes, self.n_nodes)
         perm = np.argsort(counts, kind="stable")      # old -> sorted order
         relabel = np.empty(self.n_nodes, dtype=np.int64)

@@ -57,6 +57,8 @@ def subdivided_hyper_rectangle(
         vertices=verts,
         cells=cells,
         boundary_ids=np.full((n_c, 2 * dim), -1, dtype=np.int32),
+        lattice=np.stack(base, axis=1).astype(np.int64),
+        lattice_shape=tuple(n),
     )
     eps = 1e-10 * max(np.max(np.abs(p1 - p0)), 1.0)
 

@@ -54,6 +54,8 @@ class CellBatch(NamedTuple):
     node_gather: tuple       # per contribution-count class: (n_class, K)
     #                          transpose maps (nodes renumbered by class);
     #                          empty tuple => scatter-add fallback
+    structured: tuple = ()   # (StructuredTables,) on structured patches
+    #                          (the Pallas fast-path tables, ops/structured)
 
 
 class FaceBlock(NamedTuple):
@@ -167,6 +169,7 @@ class NavierStokesOperator:
         outflow_bcs_nitsche: dict = None,
         dtype=jnp.float64,
         fuse_tables: bool = False,
+        use_structured: bool | None = None,
     ):
         self.space = space
         self.dim = space.dim
@@ -215,6 +218,28 @@ class NavierStokesOperator:
         if self.affine_geometry:
             jinv_np = jinv_np[:, :1]
 
+        # structured-lattice Pallas fast path (ops/structured.py): on
+        # structured patches the whole cell sweep fuses into one kernel;
+        # it consumes the linearization VECTORS, so force fused tables
+        self._structured_tables = None
+        self._ssweep = None
+        if use_structured is None:
+            # auto: the fused kernel is a TPU program; its interpret-mode
+            # fallback (CPU) is for parity tests only — inlining it into
+            # jitted solver loops produces HLO large enough to crash the
+            # XLA:CPU compiler
+            use_structured = jax.default_backend() == "tpu"
+        if use_structured:
+            from ns_gls_tpu.ops.structured import (
+                StructuredSweep,
+                build_structured_tables,
+            )
+
+            self._structured_tables = build_structured_tables(self)
+            if self._structured_tables is not None:
+                self.fuse_tables = True
+                self._ssweep = StructuredSweep(self)
+
         self.batch = CellBatch(
             S=jnp.asarray(S, dtype),
             D=jnp.asarray(D, dtype),
@@ -225,6 +250,10 @@ class NavierStokesOperator:
             h_q=jnp.asarray(h_q, dtype),
             node_gather=tuple(
                 jnp.asarray(idx) for _, _, idx in space.node_gather_classes
+            ),
+            structured=(
+                (self._structured_tables,)
+                if self._structured_tables is not None else ()
             ),
         )
 
@@ -447,6 +476,22 @@ class NavierStokesOperator:
             )
         return cq
 
+    def _structured_apply(self, b: CellBatch, state: NSState, u_eff,
+                          flavor: str):
+        """Fused structured sweep (ops/structured.py): free lattice view
+        in, free lattice view out."""
+        sw = self._ssweep
+        C = self.n_comp
+        d = self.dim
+        shp = sw.lattice_shape
+        uT = u_eff.T.reshape((C,) + shp)
+        ulT = state.u_lin.T.reshape((C,) + shp)
+        voT = state.vec_old[:, :d].T.reshape((d,) + shp)
+        rT = sw.apply(
+            b.structured[0], state.weight, state.stau, uT, ulT, voT, flavor
+        )
+        return rT.reshape(C, -1).T
+
     def _cell_sweep(self, b: CellBatch, state: NSState, u,
                     residual_form: bool):
         """The hot fused sweep: gather -> evaluate -> physics -> integrate
@@ -546,7 +591,12 @@ class NavierStokesOperator:
             # matrix-free sandwich: dst = Cᵀ A C u ; dst[constrained] = u
             batch, faces, state = args
             u_eff = cstr.distribute(ch, u, homogeneous=True)
-            r = self._cell_sweep(batch, state, u_eff, residual_form=False)
+            if self._ssweep is not None:
+                flavor = "increment" if self.increment_form else "fixed"
+                r = self._structured_apply(batch, state, u_eff, flavor)
+            else:
+                r = self._cell_sweep(batch, state, u_eff,
+                                     residual_form=False)
             if self.needs_face_integrals:
                 r = self._boundary_sweep(batch, faces, state, u_eff, r,
                                          residual_form=False)
@@ -558,7 +608,10 @@ class NavierStokesOperator:
             # (``evaluate_residual``, ``operator_ns.cc:648-682``)
             batch, faces, state = args
             tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
-            r = self._cell_sweep(batch, state, tmp, residual_form=True)
+            if self._ssweep is not None:
+                r = self._structured_apply(batch, state, tmp, "residual")
+            else:
+                r = self._cell_sweep(batch, state, tmp, residual_form=True)
             if self.needs_face_integrals:
                 r = self._boundary_sweep(batch, faces, state, tmp, r,
                                          residual_form=True)
