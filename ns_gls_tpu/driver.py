@@ -228,7 +228,8 @@ class Driver:
                     f"requested {p.n_devices} devices, have {len(jax.devices())}"
                 )
             self.op_unsharded = self.op
-            self.op = ShardedOperator(self.op, make_device_mesh(devices))
+            self.device_mesh = make_device_mesh(devices)
+            self.op = ShardedOperator(self.op, self.device_mesh)
 
         if not p.use_matrix_free_ns_operator:
             # assembled-SpMV fallback (``main.cc:351-364``; reference
@@ -362,9 +363,22 @@ class Driver:
             build_transfer(self.mg_spaces[l], self.mg_spaces[l + 1], mg_dtype)
             for l in range(len(meshes) - 1)
         ]
+        mg_ops_apply = None
+        if p.n_devices > 1:
+            # shard every level's hot apply over the same device mesh as
+            # the fine operator: the V-cycle's smoother vmults (the
+            # dominant cost, SURVEY §3.4) then scale with the chips, not
+            # just the fine-level GMRES matvec
+            from ns_gls_tpu.parallel.sharding import ShardedOperator
+
+            mg_ops_apply = [
+                ShardedOperator(op_l, self.device_mesh)
+                for op_l in self.mg_ops
+            ]
         self.preconditioner = PreconditionerGMG(
             self.mg_ops,
             self.mg_transfers,
+            level_ops_apply=mg_ops_apply,
             fine_dtype=p.dtype,
             mg_dtype=mg_dtype,
             smoothing_n_iterations=p.gmg.smoothing_n_iterations,

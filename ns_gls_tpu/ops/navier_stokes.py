@@ -103,6 +103,8 @@ class NSState(NamedTuple):
     u_lin: jnp.ndarray         # (n_nodes, C) fused mode, else (0, C)
     vec_old: jnp.ndarray       # (n_nodes, C) fused mode, else (0, C)
     u_old: jnp.ndarray         # (n_nodes, C) fused theta mode, else (0, C)
+    u_linT: jnp.ndarray        # structured: (C,)+lattice_shape, else (0,)
+    vec_oldT: jnp.ndarray      # structured: (d,)+lattice_shape, else (0,)
 
 
 # --------------------------------------------------------------------------
@@ -322,6 +324,14 @@ class NavierStokesOperator:
             u_lin=z((nn, C)),
             vec_old=z((nn, C)),
             u_old=z((nn if self.theta != 1.0 else 0, C)),
+            u_linT=z(
+                (C,) + self._ssweep.lattice_shape
+                if self._ssweep is not None else (0,)
+            ),
+            vec_oldT=z(
+                (d,) + self._ssweep.lattice_shape
+                if self._ssweep is not None else (0,)
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -482,13 +492,11 @@ class NavierStokesOperator:
         in, free lattice view out."""
         sw = self._ssweep
         C = self.n_comp
-        d = self.dim
         shp = sw.lattice_shape
         uT = u_eff.T.reshape((C,) + shp)
-        ulT = state.u_lin.T.reshape((C,) + shp)
-        voT = state.vec_old[:, :d].T.reshape((d,) + shp)
         rT = sw.apply(
-            b.structured[0], state.weight, state.stau, uT, ulT, voT, flavor
+            b.structured[0], state.weight, state.stau, uT,
+            state.u_linT, state.vec_oldT, flavor
         )
         return rT.reshape(C, -1).T
 
@@ -670,6 +678,11 @@ class NavierStokesOperator:
         )
         if self.fuse_tables:
             new = state._replace(u_lin=u, face_velocity=fvel)
+            if self._ssweep is not None:
+                shp = self._ssweep.lattice_shape
+                new = new._replace(
+                    u_linT=u.T.reshape((self.n_comp,) + shp)
+                )
             if self.cell_wise_stabilization:
                 u_loc = u[batch.cell_nodes][..., :d]
                 u_star = jnp.einsum("qi,eic->eqc", batch.S, u_loc)
@@ -763,6 +776,11 @@ class NavierStokesOperator:
         d = self.dim
         if self.fuse_tables:
             new = state._replace(vec_old=vec_old)
+            if self._ssweep is not None:
+                shp = self._ssweep.lattice_shape
+                new = new._replace(
+                    vec_oldT=vec_old[:, :d].T.reshape((d,) + shp)
+                )
             if self.theta != 1.0:
                 new = new._replace(u_old=u_old)
             return new

@@ -13,10 +13,14 @@ reference's ``do_vmult_cell`` sweep, ``operator_ns.cc:949-1182``):
 - the x-axis contraction is a banded MXU matmul per component/plane
   (band ``B[P ex + i, qx nx + ex] = S1[qx, i]`` — gather, basis weighting
   and, transposed, overlap-add in one matmul),
+- in 3D the y-axis contraction is a second banded MXU matmul
+  (``By[qy ny + ey, yrow(ey, j)] = S1[qy, j]``), so only the (P+1)-term
+  z contraction runs as scalar-weighted VPU sums — the MXU (otherwise
+  idle during q-point physics) absorbs the interpolation work,
 - the z overlap between slabs is handled by passing the solution array
   once per local plane with shifted BlockSpec index maps (the pipeline
   prefetches each plane; neighboring slabs share one class-0 plane),
-- q-point physics runs on ``(ny, NQ*nx)`` tiles — cells on lanes, the
+- q-point physics runs on ``(NQ*ny, NQ*nx)`` tiles — cells on lanes, the
   TPU analogue of the reference's ``VectorizedArray`` cell batching,
 - stabilization delta1/delta2 is recomputed in-kernel from the
   linearization velocity (``compute_penalty_parameters``,
@@ -41,15 +45,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 class StructuredTables(NamedTuple):
-    """Device tables (lattice cell order, lanes pre-tiled to (qx, nx))."""
+    """Device tables (lattice cell order, lanes pre-tiled to (qx, nx)).
+
+    3D cell-table rows are pre-tiled to (qy, ny); 2D rows have extent 1.
+    """
 
     band_S: jnp.ndarray   # (Nx, NQ*nx)
     band_D: jnp.ndarray   # (Nx, NQ*nx)
+    band_Sy: jnp.ndarray  # 3D: (NQ*ny, Yr); 2D: (1, 1) dummy
+    band_Dy: jnp.ndarray  # 3D: (NQ*ny, Yr); 2D: (1, 1) dummy
     S1: jnp.ndarray       # (NQ, P+1)  (SMEM)
     D1: jnp.ndarray       # (NQ, P+1)  (SMEM)
-    jinv: jnp.ndarray     # (d*d, n_slabs, ny_s, NQ*nx)
-    jxw: jnp.ndarray      # (NQ**(d-1), n_slabs, ny_s, NQ*nx)
-    h: jnp.ndarray        # (2, n_slabs, ny_s, NQ*nx)
+    jinv: jnp.ndarray     # (d*d, n_slabs, R, NQ*nx)   R = NQ*ny | 1
+    jxw: jnp.ndarray      # (NQ^(3-d+...): 3D NQ, 2D NQ, n_slabs, R, NQ*nx)
+    h: jnp.ndarray        # (2, n_slabs, R, NQ*nx)
 
 
 def _class_offsets(P: int, n: int) -> dict:
@@ -96,41 +105,67 @@ def build_structured_tables(op) -> StructuredTables | None:
                 band_S[P * ex + i, qx * nx + ex] = S1[qx, i]
                 band_D[P * ex + i, qx * nx + ex] = D1[qx, i]
 
+    if d == 3:
+        # y band in the class-grouped row order: local y node j of cell ey
+        # lives at class-grouped row  yoff[j % P] + ey + (j == P)
+        ny = cs[1]
+        Yr = P * ny + 1
+        yoff = _class_offsets(P, ny)
+        band_Sy = np.zeros((NQ * ny, Yr), np.float32)
+        band_Dy = np.zeros((NQ * ny, Yr), np.float32)
+        for ey in range(ny):
+            for j in range(P + 1):
+                r = yoff[j % P] + ey + (1 if j == P else 0)
+                for qy in range(NQ):
+                    band_Sy[qy * ny + ey, r] = S1[qy, j]
+                    band_Dy[qy * ny + ey, r] = D1[qy, j]
+    else:
+        band_Sy = np.zeros((1, 1), np.float32)
+        band_Dy = np.zeros((1, 1), np.float32)
+
     # cells in (slab-major, y, x) order: slabs are z layers (3D) or y rows
     # (2D, degenerate per-slab y extent 1)
     lat = space.mesh.lattice
     perm = np.lexsort(tuple(lat[:, k] for k in range(d)))
     if d == 3:
         cshape = (cs[2], cs[1], nx)   # (nz, ny, nx)
+        row_rep = NQ                  # rows pre-tiled over qy
     else:
         cshape = (cs[1], 1, nx)       # (ny, 1, nx)
+        row_rep = 1
 
     def pack_cell(arr):
-        """(n_c,) or (n_c, m) mesh order -> (m, n_slabs, ny_s, L)."""
+        """(n_c,) or (n_c, m) mesh order -> (m, n_slabs, R, L)."""
         a = np.asarray(arr)[perm]
         if a.ndim == 1:
             a = a[:, None]
         a = a.reshape(cshape + (a.shape[1],))
         a = np.moveaxis(a, -1, 0)
-        return np.tile(a, (1, 1, 1, NQ)).astype(np.float32)
+        return np.tile(a, (1, 1, row_rep, NQ)).astype(np.float32)
 
     jinvP = pack_cell(
         np.asarray(space.jinv)[:, 0].reshape(space.mesh.n_cells, d * d)
     )
 
     # jxw: element q index = qx + NQ*qy (+ NQ^2*qz); lanes hold (qx, nx);
-    # the leading dim enumerates the remaining (qz, qy) combos, qz-major
+    # 3D rows hold (qy, ny); the leading dim enumerates qz (3D) / qy (2D)
     jxw = np.asarray(space.jxw)[perm]            # (n_c, n_q)
-    n_rest = NQ ** (d - 1)
-    jxwP = np.zeros((n_rest,) + cshape[:2] + (L,), np.float32)
-    for rest in range(n_rest):
-        qy = rest % NQ
-        qz = rest // NQ
-        for qx in range(NQ):
-            q = qx + NQ * qy + (NQ * NQ * qz if d == 3 else 0)
-            jxwP[rest, :, :, qx * nx:(qx + 1) * nx] = jxw[:, q].reshape(
-                cshape
-            )
+    if d == 3:
+        jxwP = np.zeros((NQ, cshape[0], NQ * cshape[1], L), np.float32)
+        for qz in range(NQ):
+            for qy in range(NQ):
+                for qx in range(NQ):
+                    q = qx + NQ * qy + NQ * NQ * qz
+                    jxwP[qz, :, qy * cshape[1]:(qy + 1) * cshape[1],
+                         qx * nx:(qx + 1) * nx] = jxw[:, q].reshape(cshape)
+    else:
+        jxwP = np.zeros((NQ, cshape[0], 1, L), np.float32)
+        for qy in range(NQ):
+            for qx in range(NQ):
+                q = qx + NQ * qy
+                jxwP[qy, :, :, qx * nx:(qx + 1) * nx] = jxw[:, q].reshape(
+                    cshape
+                )
 
     h1 = np.asarray(space.cell_h_min_vertex)
     if d == 2:
@@ -142,6 +177,8 @@ def build_structured_tables(op) -> StructuredTables | None:
     return StructuredTables(
         band_S=jnp.asarray(band_S),
         band_D=jnp.asarray(band_D),
+        band_Sy=jnp.asarray(band_Sy),
+        band_Dy=jnp.asarray(band_Dy),
         S1=jnp.asarray(S1.astype(np.float32)),
         D1=jnp.asarray(D1.astype(np.float32)),
         jinv=jnp.asarray(jinvP),
@@ -228,24 +265,20 @@ def _delta(sc, h1, hq, usq_max, usq_q, cell_wise):
 
 
 # ---------------------------------------------------------------------------
-# the kernel: grid over slabs (z-cell layers in 3D, y-cell rows in 2D)
+# the 3D kernel: grid over z-cell layers; x and y contractions on the MXU
+# (banded matmuls), z contraction as (P+1)-term scalar-weighted sums
 # ---------------------------------------------------------------------------
-def _make_kernel(dims, flavor, consider_dt, cell_wise, prec):
-    d = dims["d"]
+def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec):
+    d = 3
     P = dims["P"]
     NQ = dims["NQ"]
     nx = dims["nx"]
-    ny = dims["ny"]          # per-slab y cell count (2D: 1)
+    ny = dims["ny"]
     C = dims["C"]
-    L = NQ * nx
-    yoff = _class_offsets(P, ny)
     need_lin_grads = flavor == "increment"
     need_dt_old = consider_dt and flavor in ("increment", "residual")
-    n_pl = P + 1             # slab-local planes
-    dd = d * d
-
-    def yrow0(j):
-        return yoff[j % P] + (1 if j == P else 0)
+    n_pl = P + 1
+    lead_ul = C if need_lin_grads else d
 
     def kernel(*refs):
         it = iter(refs)
@@ -254,6 +287,8 @@ def _make_kernel(dims, flavor, consider_dt, cell_wise, prec):
         d1t_ref = next(it)
         bs_ref = next(it)
         bd_ref = next(it)
+        bys_ref = next(it)
+        byd_ref = next(it)
         jinv_ref = next(it)
         jxw_ref = next(it)
         h_ref = next(it)
@@ -269,73 +304,221 @@ def _make_kernel(dims, flavor, consider_dt, cell_wise, prec):
         )
         bs = bs_ref[:]
         bd = bd_ref[:]
-        jinvL = [jinv_ref[r, 0] for r in range(dd)]   # (ny_s, L)
+        bys = bys_ref[:]
+        byd = byd_ref[:]
+        jinvL = [jinv_ref[r, 0] for r in range(9)]    # (NQ*ny, L)
         h1 = h_ref[0, 0]
         hq = h_ref[1, 0]
 
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=prec)
+
         def fwd(plane_refs, lead, grads):
-            """x-banded plane tensors: S[c][k] (Yr, L), D likewise."""
+            """Per (comp, plane) xy-banded tensors on (NQ*ny, L):
+            A = val base, B = x-deriv base, Cg = y-deriv base."""
+            A = [[None] * n_pl for _ in range(lead)]
+            B = [[None] * n_pl for _ in range(lead)] if grads else None
+            Cg = [[None] * n_pl for _ in range(lead)] if grads else None
+            for c in range(lead):
+                for k in range(n_pl):
+                    t = plane_refs[k][c, 0]          # (Yr, Nx)
+                    tx = mm(t, bs)                   # (Yr, L)
+                    A[c][k] = mm(bys, tx)            # (NQ*ny, L)
+                    if grads:
+                        B[c][k] = mm(bys, mm(t, bd))
+                        Cg[c][k] = mm(byd, tx)
+            return A, B, Cg
+
+        UA, UB, UC = fwd(u_refs, C, True)
+        ULA, ULB, ULC = fwd(ul_refs, lead_ul, need_lin_grads)
+        VOA = fwd(vo_refs, d, False)[0] if need_dt_old else None
+
+        def zsum(planes, qz, tab):
+            acc = None
+            for k in range(n_pl):
+                t = tab[qz, k] * planes[k]
+                acc = t if acc is None else acc + t
+            return acc
+
+        # u* values and |u*|^2 at every qz (tiles cover all (qy, qx))
+        ustar = [
+            [zsum(ULA[a], qz, s1_ref) for a in range(d)] for qz in range(NQ)
+        ]
+        usq = [sum(u * u for u in us) for us in ustar]
+
+        if cell_wise:
+            m = usq[0]
+            for qz in range(1, NQ):
+                m = jnp.maximum(m, usq[qz])
+            # max over the qy row blocks, then the qx lane blocks
+            mr = None
+            for qy in range(NQ):
+                sl = m[qy * ny:(qy + 1) * ny]
+                mr = sl if mr is None else jnp.maximum(mr, sl)
+            mx = None
+            for qx in range(NQ):
+                sl = mr[:, qx * nx:(qx + 1) * nx]
+                mx = sl if mx is None else jnp.maximum(mx, sl)
+            # broadcast back to (NQ*ny, L)
+            row = jnp.concatenate([mx] * NQ, axis=1) if NQ > 1 else mx
+            msq = jnp.concatenate([row] * NQ, axis=0) if NQ > 1 else row
+            d1_t, d2_t = _delta(sc, h1, hq, msq, None, True)
+
+        # per-(comp, plane) output accumulators in (NQ*ny, L) space
+        accS = [[None] * n_pl for _ in range(C)]
+        accDx = [[None] * n_pl for _ in range(C)]
+        accDy = [[None] * n_pl for _ in range(C)]
+
+        for qz in range(NQ):
+            u_val = [zsum(UA[c], qz, s1_ref) for c in range(C)]
+            dx = [zsum(UB[c], qz, s1_ref) for c in range(C)]
+            dy = [zsum(UC[c], qz, s1_ref) for c in range(C)]
+            dz = [zsum(UA[c], qz, d1t_ref) for c in range(C)]
+
+            def to_phys(gref):
+                return [
+                    sum(gref[r] * jinvL[r * d + x] for r in range(d))
+                    for x in range(d)
+                ]
+
+            u_grad = [to_phys([dx[a], dy[a], dz[a]]) for a in range(d)]
+            p_grad = to_phys([dx[d], dy[d], dz[d]])
+            gus = gps = None
+            if need_lin_grads:
+                ldx = [zsum(ULB[c], qz, s1_ref) for c in range(C)]
+                ldy = [zsum(ULC[c], qz, s1_ref) for c in range(C)]
+                ldz = [zsum(ULA[c], qz, d1t_ref) for c in range(C)]
+                gus = [to_phys([ldx[a], ldy[a], ldz[a]]) for a in range(d)]
+                gps = to_phys([ldx[d], ldy[d], ldz[d]])
+            dt_old = ([zsum(VOA[a], qz, s1_ref) for a in range(d)]
+                      if need_dt_old else None)
+
+            if cell_wise:
+                d1_q, d2_q = d1_t, d2_t
+            else:
+                d1_q, d2_q = _delta(sc, h1, hq, None, usq[qz], False)
+
+            val_res, grad_res = _physics(
+                d, flavor, sc, u_val[:d], u_grad, u_val[d], p_grad,
+                ustar[qz], gus, gps, dt_old, d1_q, d2_q, consider_dt,
+            )
+
+            jxw_t = jxw_ref[qz, 0]
+            for c in range(C):
+                w_val = val_res[c] * jxw_t
+                gref = [
+                    sum(grad_res[c][x] * jinvL[r * d + x]
+                        for x in range(d)) * jxw_t
+                    for r in range(d)
+                ]
+                for k in range(n_pl):
+                    sz = s1_ref[qz, k]
+                    dzw = d1t_ref[qz, k]
+                    tS = sz * w_val + dzw * gref[2]
+                    tDx = sz * gref[0]
+                    tDy = sz * gref[1]
+                    accS[c][k] = tS if accS[c][k] is None else accS[c][k] + tS
+                    accDx[c][k] = (tDx if accDx[c][k] is None
+                                   else accDx[c][k] + tDx)
+                    accDy[c][k] = (tDy if accDy[c][k] is None
+                                   else accDy[c][k] + tDy)
+
+        # adjoint folds: y overlap-add via the transposed band matmul,
+        # then x via the transposed x band
+        for c in range(C):
+            planes = []
+            for k in range(n_pl):
+                fS = mm(bys.T, accS[c][k]) + mm(byd.T, accDy[c][k])
+                fD = mm(bys.T, accDx[c][k])
+                planes.append(mm(fS, bs.T) + mm(fD, bd.T))
+            for k in range(1, P):
+                outA_ref[c, 0, k - 1] = planes[k]
+            if P == 1:
+                outA_ref[c, 0, 0] = 0.0 * planes[0]
+            outB_ref[c, 0, 0] = planes[0]
+            outB_ref[c, 0, 1] = planes[P]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# the 2D kernel: grid over y-cell rows; x contraction on the MXU, y as
+# (P+1)-term scalar sums over the row-window refs
+# ---------------------------------------------------------------------------
+def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec):
+    d = 2
+    P = dims["P"]
+    NQ = dims["NQ"]
+    nx = dims["nx"]
+    C = dims["C"]
+    need_lin_grads = flavor == "increment"
+    need_dt_old = consider_dt and flavor in ("increment", "residual")
+    n_pl = P + 1
+
+    def kernel(*refs):
+        it = iter(refs)
+        scal_ref = next(it)
+        s1_ref = next(it)
+        d1t_ref = next(it)
+        bs_ref = next(it)
+        bd_ref = next(it)
+        _bys_ref = next(it)
+        _byd_ref = next(it)
+        jinv_ref = next(it)
+        jxw_ref = next(it)
+        h_ref = next(it)
+        u_refs = [next(it) for _ in range(n_pl)]
+        ul_refs = [next(it) for _ in range(n_pl)]
+        vo_refs = [next(it) for _ in range(n_pl)]
+        outA_ref = next(it)
+        outB_ref = next(it)
+
+        sc = dict(
+            weight=scal_ref[0, 0], stau=scal_ref[1, 0], nu=scal_ref[2, 0],
+            c1=scal_ref[3, 0], c2=scal_ref[4, 0],
+        )
+        bs = bs_ref[:]
+        bd = bd_ref[:]
+        jinvL = [jinv_ref[r, 0] for r in range(4)]
+        h1 = h_ref[0, 0]
+        hq = h_ref[1, 0]
+
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=prec)
+
+        def fwd(plane_refs, lead, grads):
             S = [[None] * n_pl for _ in range(lead)]
             D = [[None] * n_pl for _ in range(lead)] if grads else None
             for c in range(lead):
                 for k in range(n_pl):
                     t = plane_refs[k][c, 0]
-                    S[c][k] = jnp.dot(
-                        t, bs, preferred_element_type=jnp.float32,
-                        precision=prec,
-                    )
+                    S[c][k] = mm(t, bs)
                     if grads:
-                        D[c][k] = jnp.dot(
-                            t, bd, preferred_element_type=jnp.float32,
-                            precision=prec,
-                        )
+                        D[c][k] = mm(t, bd)
             return S, D
 
-        def yslice(t, j):
-            if d == 2:
-                return t
-            r0 = yrow0(j)
-            return t[r0:r0 + ny]
-
         US, UD = fwd(u_refs, C, True)
-        ULS, ULD = fwd(ul_refs, C, need_lin_grads)
+        if need_lin_grads:
+            ULS, ULD = fwd(ul_refs, C, True)
+        else:
+            ULS, ULD = fwd(ul_refs, d, False)
         VOS = fwd(vo_refs, d, False)[0] if need_dt_old else None
 
-        def q3(planes, qz, qy, tabz, taby):
-            """3D: sum_{k,j} tabz[qz,k] taby[qy,j] yslice(planes[k], j)."""
-            acc = None
-            for k in range(n_pl):
-                for j in range(n_pl):
-                    t = (tabz[qz, k] * taby[qy, j]) * yslice(planes[k], j)
-                    acc = t if acc is None else acc + t
-            return acc
-
         def q2(planes, qy, tab):
-            """2D: sum_k tab[qy,k] planes[k] (slab planes ARE the y dir)."""
             acc = None
             for k in range(n_pl):
                 t = tab[qy, k] * planes[k]
                 acc = t if acc is None else acc + t
             return acc
 
-        if d == 3:
-            combos = [(qz, qy) for qz in range(NQ) for qy in range(NQ)]
-
-            def interp(planes, qz, qy, ztab, ytab):
-                return q3(planes, qz, qy, ztab, ytab)
-        else:
-            combos = [(0, qy) for qy in range(NQ)]
-
-            def interp(planes, qz, qy, ztab, ytab):
-                return q2(planes, qy, ztab)
-
-        # u* values and |u*|^2 at every (qz, qy)
         ustar = {}
         usq = {}
-        for (qz, qy) in combos:
-            us = [interp(ULS[a], qz, qy, s1_ref, s1_ref) for a in range(d)]
-            ustar[(qz, qy)] = us
-            usq[(qz, qy)] = sum(u * u for u in us)
+        for qy in range(NQ):
+            us = [q2(ULS[a], qy, s1_ref) for a in range(d)]
+            ustar[qy] = us
+            usq[qy] = sum(u * u for u in us)
 
         if cell_wise:
             m = None
@@ -348,25 +531,15 @@ def _make_kernel(dims, flavor, consider_dt, cell_wise, prec):
             msq = (jnp.concatenate([mx] * NQ, axis=1) if NQ > 1 else mx)
             d1_t, d2_t = _delta(sc, h1, hq, msq, None, True)
 
-        accS = [[[None] * n_pl for _ in range(n_pl)] for _ in range(C)]
-        accD = [[[None] * n_pl for _ in range(n_pl)] for _ in range(C)]
+        accS = [[None] * n_pl for _ in range(C)]
+        accD = [[None] * n_pl for _ in range(C)]
 
-        for (qz, qy) in combos:
-            u_val = []
-            u_gref = []
-            for c in range(C):
-                u_val.append(interp(US[c], qz, qy, s1_ref, s1_ref))
-                if d == 3:
-                    u_gref.append([
-                        q3(UD[c], qz, qy, s1_ref, s1_ref),   # d/dxi_x
-                        q3(US[c], qz, qy, s1_ref, d1t_ref),  # d/dxi_y
-                        q3(US[c], qz, qy, d1t_ref, s1_ref),  # d/dxi_z
-                    ])
-                else:
-                    u_gref.append([
-                        q2(UD[c], qy, s1_ref),
-                        q2(US[c], qy, d1t_ref),
-                    ])
+        for qy in range(NQ):
+            u_val = [q2(US[c], qy, s1_ref) for c in range(C)]
+            u_gref = [
+                [q2(UD[c], qy, s1_ref), q2(US[c], qy, d1t_ref)]
+                for c in range(C)
+            ]
 
             def to_phys(gref):
                 return [
@@ -378,36 +551,26 @@ def _make_kernel(dims, flavor, consider_dt, cell_wise, prec):
             p_grad = to_phys(u_gref[d])
             gus = gps = None
             if need_lin_grads:
-                l_gref = []
-                for c in range(C):
-                    if d == 3:
-                        l_gref.append([
-                            q3(ULD[c], qz, qy, s1_ref, s1_ref),
-                            q3(ULS[c], qz, qy, s1_ref, d1t_ref),
-                            q3(ULS[c], qz, qy, d1t_ref, s1_ref),
-                        ])
-                    else:
-                        l_gref.append([
-                            q2(ULD[c], qy, s1_ref),
-                            q2(ULS[c], qy, d1t_ref),
-                        ])
+                l_gref = [
+                    [q2(ULD[c], qy, s1_ref), q2(ULS[c], qy, d1t_ref)]
+                    for c in range(C)
+                ]
                 gus = [to_phys(l_gref[a]) for a in range(d)]
                 gps = to_phys(l_gref[d])
-            dt_old = ([interp(VOS[a], qz, qy, s1_ref, s1_ref)
-                       for a in range(d)] if need_dt_old else None)
+            dt_old = ([q2(VOS[a], qy, s1_ref) for a in range(d)]
+                      if need_dt_old else None)
 
             if cell_wise:
                 d1_q, d2_q = d1_t, d2_t
             else:
-                d1_q, d2_q = _delta(sc, h1, hq, None, usq[(qz, qy)], False)
+                d1_q, d2_q = _delta(sc, h1, hq, None, usq[qy], False)
 
             val_res, grad_res = _physics(
                 d, flavor, sc, u_val[:d], u_grad, u_val[d], p_grad,
-                ustar[(qz, qy)], gus, gps, dt_old, d1_q, d2_q, consider_dt,
+                ustar[qy], gus, gps, dt_old, d1_q, d2_q, consider_dt,
             )
 
-            rest = qz * NQ + qy if d == 3 else qy
-            jxw_t = jxw_ref[rest, 0]
+            jxw_t = jxw_ref[qy, 0]
             for c in range(C):
                 w_val = val_res[c] * jxw_t
                 gref = [
@@ -416,61 +579,17 @@ def _make_kernel(dims, flavor, consider_dt, cell_wise, prec):
                     for r in range(d)
                 ]
                 for k in range(n_pl):
-                    if d == 3:
-                        sz = s1_ref[qz, k]
-                        dz = d1t_ref[qz, k]
-                        pk_S = sz * w_val + dz * gref[2]
-                        pk_Dy = sz * gref[1]
-                        pk_Dx = sz * gref[0]
-                        for j in range(n_pl):
-                            sy = s1_ref[qy, j]
-                            dy = d1t_ref[qy, j]
-                            tS = sy * pk_S + dy * pk_Dy
-                            tD = sy * pk_Dx
-                            accS[c][k][j] = (
-                                tS if accS[c][k][j] is None
-                                else accS[c][k][j] + tS
-                            )
-                            accD[c][k][j] = (
-                                tD if accD[c][k][j] is None
-                                else accD[c][k][j] + tD
-                            )
-                    else:
-                        sy = s1_ref[qy, k]
-                        dy = d1t_ref[qy, k]
-                        tS = sy * w_val + dy * gref[1]
-                        tD = sy * gref[0]
-                        accS[c][k][0] = (
-                            tS if accS[c][k][0] is None
-                            else accS[c][k][0] + tS
-                        )
-                        accD[c][k][0] = (
-                            tD if accD[c][k][0] is None
-                            else accD[c][k][0] + tD
-                        )
-
-        def yfold(rows):
-            """(P+1) local-j tiles (ny, L) -> (Yr, L) class-grouped."""
-            if d == 2:
-                return rows[0]
-            zrow = 0.0 * rows[0][:1]
-            cls0 = (jnp.concatenate([rows[0], zrow], axis=0)
-                    + jnp.concatenate([zrow, rows[P]], axis=0))
-            parts = [rows[j] for j in range(1, P)] + [cls0]
-            return (jnp.concatenate(parts, axis=0)
-                    if len(parts) > 1 else cls0)
+                    sy = s1_ref[qy, k]
+                    dyw = d1t_ref[qy, k]
+                    tS = sy * w_val + dyw * gref[1]
+                    tD = sy * gref[0]
+                    accS[c][k] = tS if accS[c][k] is None else accS[c][k] + tS
+                    accD[c][k] = tD if accD[c][k] is None else accD[c][k] + tD
 
         for c in range(C):
             planes = []
             for k in range(n_pl):
-                fS = yfold(accS[c][k])
-                fD = yfold(accD[c][k])
-                planes.append(
-                    jnp.dot(fS, bs.T, preferred_element_type=jnp.float32,
-                            precision=prec)
-                    + jnp.dot(fD, bd.T, preferred_element_type=jnp.float32,
-                              precision=prec)
-                )
+                planes.append(mm(accS[c][k], bs.T) + mm(accD[c][k], bd.T))
             for k in range(1, P):
                 outA_ref[c, 0, k - 1] = planes[k]
             if P == 1:
@@ -488,8 +607,8 @@ class StructuredSweep:
     """Builds and applies the fused structured sweep for one operator.
 
     ``apply(tables, scal, uT, ulT, voT)`` takes lattice-layout arrays
-    ``(C, Zr, Yr, Nx)`` (free reshapes of the class-grouped node vectors)
-    and returns the result in the same layout.
+    ``(C, n_planes_cg, Yr, Nx)`` (free reshapes of the class-grouped node
+    vectors) and returns the result in the same layout.
     """
 
     def __init__(self, op, interpret: bool | None = None):
@@ -538,8 +657,10 @@ class StructuredSweep:
         Nx, Yr = self.Nx, self.Yr
         ny, nx = self.ny, self.nx
         L = NQ * nx
+        R = NQ * ny if d == 3 else 1     # cell-table row extent
         n_slabs = self.n_slabs
-        kernel = _make_kernel(
+        make = _make_kernel_3d if d == 3 else _make_kernel_2d
+        kernel = make(
             dict(d=d, P=P, NQ=NQ, nx=nx, ny=ny, C=C),
             flavor, self.consider_dt, self.cell_wise, self.prec,
         )
@@ -549,7 +670,7 @@ class StructuredSweep:
 
         def cell_spec(lead):
             return pl.BlockSpec(
-                (lead, 1, ny, L), lambda s: (0, s, 0, 0),
+                (lead, 1, R, L), lambda s: (0, s, 0, 0),
                 memory_space=pltpu.VMEM,
             )
 
@@ -562,7 +683,8 @@ class StructuredSweep:
 
         in_specs = (
             [smem(), smem(), smem(), vmem_full(), vmem_full(),
-             cell_spec(d * d), cell_spec(NQ ** (d - 1)), cell_spec(2)]
+             vmem_full(), vmem_full(),
+             cell_spec(d * d), cell_spec(NQ), cell_spec(2)]
             + [plane_spec(C, k) for k in range(n_pl)]
             + [plane_spec(C, k) for k in range(n_pl)]
             + [plane_spec(d, k) for k in range(n_pl)]
@@ -608,6 +730,7 @@ class StructuredSweep:
         ).reshape(8, 1)
         args = (
             [scal, tables.S1, tables.D1, tables.band_S, tables.band_D,
+             tables.band_Sy, tables.band_Dy,
              tables.jinv, tables.jxw, tables.h]
             + [uT] * n_pl + [ulT] * n_pl + [voT] * n_pl
         )

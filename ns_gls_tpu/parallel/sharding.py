@@ -174,6 +174,8 @@ class ShardedOperator:
             u_lin=jax.device_put(state.u_lin, self._repl),
             vec_old=jax.device_put(state.vec_old, self._repl),
             u_old=jax.device_put(state.u_old, self._repl),
+            u_linT=jax.device_put(state.u_linT, self._repl),
+            vec_oldT=jax.device_put(state.vec_oldT, self._repl),
         )
 
     def _build(self):
@@ -241,6 +243,7 @@ class ShardedOperator:
                 face_velocity=tuple(P(AXIS) for _ in state.face_velocity),
                 face_target=tuple(P(AXIS) for _ in state.face_target),
                 u_lin=P(), vec_old=P(), u_old=P(),
+                u_linT=P(), vec_oldT=P(),
             )
 
         sspecs = state_specs(op.state)

@@ -55,8 +55,19 @@ class PreconditionerGMG:
         coarse_amg_default_parameters: bool = True,
         compute_evs_n_levels: int = 0,
         logger=None,
+        level_ops_apply: list | None = None,
     ):
+        # level_ops: plain per-level operators (assembly, diagonals, the
+        # coarse solve). level_ops_apply: optional device-mesh-sharded
+        # wrappers used for every HOT apply (smoother vmults, omega power
+        # iteration) so the whole V-cycle runs under the same device mesh
+        # as the fine-level operator (reference: level-parallel Trilinos
+        # matrices, ``main.cc:396-568``).
         self.level_ops = level_ops
+        self.level_ops_apply = (
+            list(level_ops_apply) if level_ops_apply is not None
+            else list(level_ops)
+        )
         self.transfers = tuple(transfers)
         self.fine_dtype = fine_dtype
         self.mg_dtype = mg_dtype
@@ -75,7 +86,7 @@ class PreconditionerGMG:
 
         # build the static V-cycle closure once: level vmult_pure identities
         # are stable for the life of the preconditioner
-        level_fns = tuple(op.vmult_pure for op in level_ops)
+        level_fns = tuple(op.vmult_pure for op in self.level_ops_apply)
         n_smooth = self.n_smooth
         n_levels = self.n_levels
         coarse_kind = self.coarse_grid_solver
@@ -158,7 +169,7 @@ class PreconditionerGMG:
         """Power iteration for lambda_max(D^{-1} A); relaxation =
         2 / (lambda_max * (1 + 1/smoothing_range)) — deal.II
         PreconditionRelaxation semantics (``multigrid.cc:281-305``)."""
-        fn = self.level_ops[level].vmult_pure
+        fn = self.level_ops_apply[level].vmult_pure
         key = jax.random.PRNGKey(31 + level)
         v = jax.random.normal(key, inv_diag.shape, inv_diag.dtype)
         v = v / jnp.linalg.norm(v.reshape(-1))
@@ -187,7 +198,11 @@ class PreconditionerGMG:
         for lvl, op in enumerate(self.level_ops):
             d = compute_inverse_diagonal(op)
             inv_diags.append(d)
-            omegas.append(self._estimate_omega(op.vmult_args, d, lvl))
+            omegas.append(
+                self._estimate_omega(
+                    self.level_ops_apply[lvl].vmult_args, d, lvl
+                )
+            )
 
         coarse_lu = ()
         n_coarse = self.level_ops[0].n_nodes * self.level_ops[0].n_comp
@@ -248,7 +263,7 @@ class PreconditionerGMG:
                 )
 
         self._args = GMGArgs(
-            level_args=tuple(op.vmult_args for op in self.level_ops),
+            level_args=tuple(op.vmult_args for op in self.level_ops_apply),
             inv_diags=tuple(inv_diags),
             omegas=tuple(omegas),
             transfers=self.transfers,
@@ -266,7 +281,7 @@ class PreconditionerGMG:
         if self._args is None:
             self.initialize()
         return self._args._replace(
-            level_args=tuple(op.vmult_args for op in self.level_ops)
+            level_args=tuple(op.vmult_args for op in self.level_ops_apply)
         )
 
     def vmult(self, x):
