@@ -49,6 +49,9 @@ def main():
             "lin relative tolerance": 1e-2,
             "preconditioner": "GMG",
             "gmg coarse grid solver": "direct",
+            # match the reference benchmark config
+            # (input_turek_3D_Re100.json): non-iterative coarse solve
+            "gmg coarse grid iterate": False,
             "nonlinear solver": "Newton",
             "newton inexact": True,
             "output granularity": 0.0,

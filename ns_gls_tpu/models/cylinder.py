@@ -75,7 +75,17 @@ class SimulationCylinder(SimulationBase):
         for k, v in raw.items():
             if k in self._KEYS:
                 cur = getattr(self, self._KEYS[k])
-                setattr(self, self._KEYS[k], type(cur)(v))
+                # coerce by the default's type, but round through float
+                # for ints so "level": 3.0 (JSON floats) stays valid
+                if isinstance(cur, bool):
+                    val = bool(v)
+                elif isinstance(cur, int):
+                    val = int(round(float(v)))
+                elif isinstance(cur, float):
+                    val = float(v)
+                else:
+                    val = type(cur)(v)
+                setattr(self, self._KEYS[k], val)
         # also pick nu from the top-level parameter set
         assert (
             int(self.use_outflow_bc_weak_cut)

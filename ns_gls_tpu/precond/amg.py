@@ -194,7 +194,11 @@ class PreconditionerAMG:
             )
             A = (P.T @ A @ P).tocsr()
 
-        lu = jax.scipy.linalg.lu_factor(jnp.asarray(A.todense()))
+        # TPU's LuDecomposition HLO implements only F32
+        lu_dt = (
+            jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+        )
+        lu = jax.scipy.linalg.lu_factor(jnp.asarray(A.todense(), lu_dt))
         self._args = AMGArgs(levels=tuple(levels), coarse_lu=tuple(lu))
         self._n_levels = len(levels)
         self._frozen_aggs = frozen_aggs

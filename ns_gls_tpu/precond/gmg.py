@@ -83,6 +83,14 @@ class PreconditionerGMG:
         self.logger = logger
         self.n_levels = len(level_ops)
         self._args: GMGArgs | None = None
+        # when the coarse solve is non-iterative, the level-0 operator /
+        # smoother args never enter the V-cycle trace; passing them anyway
+        # ships a large pruned-parameter pytree, which the remote-AOT TPU
+        # compile path mishandles (deterministic worker crash, round-2
+        # bisect) — so strip unused slots from the apply args entirely
+        self._needs_level0_args = bool(
+            coarse_grid_iterate and coarse_grid_solver != "identity"
+        ) or self.n_levels == 1
 
         # build the static V-cycle closure once: level vmult_pure identities
         # are stable for the life of the preconditioner
@@ -164,6 +172,15 @@ class PreconditionerGMG:
             self._estimate_omega_impl, static_argnames=("level",)
         )
 
+    def _apply_level_args(self) -> tuple:
+        """Per-level operator args for the jitted V-cycle; the level-0
+        slot is an empty pytree when the coarse solve never applies the
+        level-0 operator (see _needs_level0_args)."""
+        la = [op.vmult_args for op in self.level_ops_apply]
+        if not self._needs_level0_args:
+            la[0] = ()
+        return tuple(la)
+
     # ------------------------------------------------------------------
     def _estimate_omega_impl(self, la, inv_diag, level: int):
         """Power iteration for lambda_max(D^{-1} A); relaxation =
@@ -196,6 +213,10 @@ class PreconditionerGMG:
         inv_diags = []
         omegas = []
         for lvl, op in enumerate(self.level_ops):
+            if lvl == 0 and not self._needs_level0_args:
+                inv_diags.append(())
+                omegas.append(())
+                continue
             d = compute_inverse_diagonal(op)
             inv_diags.append(d)
             omegas.append(
@@ -218,7 +239,14 @@ class PreconditionerGMG:
         elif self.coarse_grid_solver in ("direct", "AMG"):
             if self.coarse_grid_solver == "direct" and n_coarse <= 8000:
                 A = assemble_dense(self.level_ops[0])  # f64 host
-                lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(A))
+                # TPU's LuDecomposition HLO implements only F32; the
+                # coarse solve is an f32-V-cycle component anyway, so
+                # factor in f32 there and keep f64 on CPU
+                lu_dt = (
+                    jnp.float64 if jax.default_backend() == "cpu"
+                    else jnp.float32
+                )
+                lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(A, lu_dt))
                 coarse_lu = (lu, piv)
                 self._coarse_kind = "lu"
             else:
@@ -244,6 +272,8 @@ class PreconditionerGMG:
 
         # level-matrix eigenvalue diagnostics (``multigrid.cc:307-345``)
         for lvl in range(min(self.compute_evs_n_levels, self.n_levels)):
+            if lvl == 0 and not self._needs_level0_args:
+                continue
             op_l = self.level_ops[lvl]
             n_l = op_l.n_nodes * op_l.n_comp
             if n_l > 6000:
@@ -263,7 +293,7 @@ class PreconditionerGMG:
                 )
 
         self._args = GMGArgs(
-            level_args=tuple(op.vmult_args for op in self.level_ops_apply),
+            level_args=self._apply_level_args(),
             inv_diags=tuple(inv_diags),
             omegas=tuple(omegas),
             transfers=self.transfers,
@@ -281,7 +311,7 @@ class PreconditionerGMG:
         if self._args is None:
             self.initialize()
         return self._args._replace(
-            level_args=tuple(op.vmult_args for op in self.level_ops_apply)
+            level_args=self._apply_level_args()
         )
 
     def vmult(self, x):

@@ -290,11 +290,17 @@ class LinearSolverDirect(LinearSolverBase):
                 " only provided for small/coarse problems)"
             )
         A = assemble_dense(self.op)
-        self._lu = jax.scipy.linalg.lu_factor(jnp.asarray(A, self.op.dtype))
+        # TPU's LuDecomposition HLO implements only F32
+        lu_dt = (
+            self.op.dtype if jax.default_backend() == "cpu" else jnp.float32
+        )
+        self._lu = jax.scipy.linalg.lu_factor(jnp.asarray(A, lu_dt))
 
     def solve(self, b):
         if self._lu is None:
             self.initialize()
-        x = jax.scipy.linalg.lu_solve(self._lu, b.reshape(-1))
+        x = jax.scipy.linalg.lu_solve(
+            self._lu, b.reshape(-1).astype(self._lu[0].dtype)
+        ).astype(b.dtype)
         self._last_it = 1
         return x.reshape(b.shape)
