@@ -57,9 +57,14 @@ def build(dim=3, refinements=5, degree=2, dtype=jnp.float32,
     return op, space, u
 
 
-def time_apply(apply_fn, args, u, n_rep=30) -> float:
+def time_apply(apply_fn, args, u, n_rep=None) -> float:
     """Honest steady-state seconds/apply: chained applies inside one jit
-    (each iteration consumes the previous, normalized, output)."""
+    (each iteration consumes the previous, normalized, output).
+
+    The rep count auto-scales so the chained work dominates dispatch
+    latency jitter (the tunneled-TPU dispatch is ~29 ms with multi-ms
+    jitter; a too-short chain under-resolves to garbage), and the
+    measurement takes the best of three differences."""
 
     @jax.jit
     def chain(args, v, n):
@@ -67,16 +72,35 @@ def time_apply(apply_fn, args, u, n_rep=30) -> float:
             w = apply_fn(args, v)
             return w / jnp.linalg.norm(w.reshape(-1))
 
-        return jax.lax.fori_loop(0, n, body, v)
+        v = jax.lax.fori_loop(0, n, body, v)
+        return jnp.linalg.norm(v.reshape(-1))
+
+    # the chain returns a SCALAR and the measurement fetches it:
+    # block_until_ready does not actually wait under the tunneled-TPU
+    # runtime, and fetching a full vector hauls megabytes per sync —
+    # a 4-byte scalar fetch is the only honest completion barrier here
+    def sync(n):
+        return float(chain(args, u0, n))
 
     u0 = u / jnp.linalg.norm(u.reshape(-1))
-    np.asarray(chain(args, u0, 2))  # warm up + compile (host fetch = sync)
-    t0 = time.perf_counter()
-    np.asarray(chain(args, u0, n_rep))
-    t1 = time.perf_counter()
-    np.asarray(chain(args, u0, 1))
-    t2 = time.perf_counter()
-    return max((t1 - t0) - (t2 - t1), 1e-9) / (n_rep - 1)
+    sync(2)  # warm up + compile
+    if n_rep is None:
+        t0 = time.perf_counter()
+        sync(32)
+        t1 = time.perf_counter()
+        sync(1)
+        t2 = time.perf_counter()
+        pilot = max(((t1 - t0) - (t2 - t1)) / 31, 1e-7)
+        n_rep = int(np.clip(0.5 / pilot, 100, 20000))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(n_rep)
+        t1 = time.perf_counter()
+        sync(1)
+        t2 = time.perf_counter()
+        best = min(best, max((t1 - t0) - (t2 - t1), 1e-9) / (n_rep - 1))
+    return best
 
 
 def roofline_seconds(op, space, dtype) -> float:
@@ -102,6 +126,9 @@ def roofline_seconds(op, space, dtype) -> float:
 
 
 def main():
+    from ns_gls_tpu.utils.precision import ensure_tpu_matmul_precision
+
+    ensure_tpu_matmul_precision()
     jax.config.update(
         "jax_compilation_cache_dir",
         f"/tmp/jax_cache_bench_{jax.default_backend()}",

@@ -143,6 +143,9 @@ class ConstraintSetBuilder:
 
 class Driver:
     def __init__(self, params: Parameters):
+        from ns_gls_tpu.utils.precision import ensure_tpu_matmul_precision
+
+        ensure_tpu_matmul_precision()
         self.params = params
         self.log = get_logger()
 
@@ -355,6 +358,10 @@ class Driver:
                 outflow_bcs_cut=bcs.all_outflow_bcs_cut,
                 outflow_bcs_nitsche=dict(bcs.all_outflow_bcs_nitsche),
                 dtype=mg_dtype,
+                # level operators only ever run as smoother components of
+                # the V-cycle: one bf16 MXU pass is plenty there (the
+                # outer Krylov/residual operator keeps f32-grade 3x)
+                structured_precision="bf16",
             )
             op_l.constraints_inhomogeneous = ca
             self.mg_ops.append(op_l)

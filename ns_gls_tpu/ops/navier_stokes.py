@@ -172,6 +172,7 @@ class NavierStokesOperator:
         dtype=jnp.float64,
         fuse_tables: bool = False,
         use_structured: bool | None = None,
+        structured_precision: str = "3x",
     ):
         self.space = space
         self.dim = space.dim
@@ -225,6 +226,7 @@ class NavierStokesOperator:
         # it consumes the linearization VECTORS, so force fused tables
         self._structured_tables = None
         self._ssweep = None
+        self.structured_precision = structured_precision
         if use_structured is None:
             # auto: the fused kernel is a TPU program; its interpret-mode
             # fallback (CPU) is for parity tests only — inlining it into

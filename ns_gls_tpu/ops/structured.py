@@ -264,11 +264,47 @@ def _delta(sc, h1, hq, usq_max, usq_q, cell_wise):
     return d1, d2
 
 
+
+def _mm_maker(mode: str):
+    """In-kernel matmul at the requested accuracy/cost point.
+
+    - "full":  Precision.HIGHEST (6 bf16 MXU passes) — exact f32.
+    - "3x":    manual bf16x3 decomposition (3 DEFAULT passes): splits both
+      operands into bf16 hi/lo parts and drops only the lo*lo term
+      (~2^-32 relative) — f32-grade accuracy at half the passes of
+      HIGHEST. The kernel is MXU-pass-bound (round-2 probe: 579 us at
+      HIGHEST vs 204 us at DEFAULT), so this is the default.
+    - "bf16":  one DEFAULT pass — for operators that only ever run as
+      preconditioner components (GMG level smoothers)."""
+    if mode == "full":
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        return mm
+    if mode == "bf16":
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+        return mm
+
+    def d1p(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+
+    def mm(a, b):
+        a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+        a_lo = a - a_hi
+        b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+        b_lo = b - b_hi
+        return d1p(a_hi, b_hi) + (d1p(a_lo, b_hi) + d1p(a_hi, b_lo))
+    return mm
+
+
 # ---------------------------------------------------------------------------
 # the 3D kernel: grid over z-cell layers; x and y contractions on the MXU
 # (banded matmuls), z contraction as (P+1)-term scalar-weighted sums
 # ---------------------------------------------------------------------------
-def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec):
+def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode):
     d = 3
     P = dims["P"]
     NQ = dims["NQ"]
@@ -310,9 +346,7 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec):
         h1 = h_ref[0, 0]
         hq = h_ref[1, 0]
 
-        def mm(a, b):
-            return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                           precision=prec)
+        mm = _mm_maker(prec_mode)
 
         def fwd(plane_refs, lead, grads):
             """Per (comp, plane) xy-banded tensors on (NQ*ny, L):
@@ -446,7 +480,7 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec):
 # the 2D kernel: grid over y-cell rows; x contraction on the MXU, y as
 # (P+1)-term scalar sums over the row-window refs
 # ---------------------------------------------------------------------------
-def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec):
+def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec_mode):
     d = 2
     P = dims["P"]
     NQ = dims["NQ"]
@@ -484,9 +518,7 @@ def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec):
         h1 = h_ref[0, 0]
         hq = h_ref[1, 0]
 
-        def mm(a, b):
-            return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                           precision=prec)
+        mm = _mm_maker(prec_mode)
 
         def fwd(plane_refs, lead, grads):
             S = [[None] * n_pl for _ in range(lead)]
@@ -611,7 +643,10 @@ class StructuredSweep:
     vectors) and returns the result in the same layout.
     """
 
-    def __init__(self, op, interpret: bool | None = None):
+    def __init__(self, op, interpret: bool | None = None,
+                 prec_mode: str | None = None):
+        if prec_mode is None:
+            prec_mode = getattr(op, "structured_precision", "3x")
         space = op.space
         self.d = d = space.dim
         self.C = d + 1
@@ -642,7 +677,7 @@ class StructuredSweep:
             interpret if interpret is not None
             else jax.default_backend() != "tpu"
         )
-        self.prec = jax.lax.Precision.HIGHEST
+        self.prec_mode = prec_mode
         self._calls = {}
 
     # slab-plane z index in the class-grouped plane axis
@@ -662,7 +697,7 @@ class StructuredSweep:
         make = _make_kernel_3d if d == 3 else _make_kernel_2d
         kernel = make(
             dict(d=d, P=P, NQ=NQ, nx=nx, ny=ny, C=C),
-            flavor, self.consider_dt, self.cell_wise, self.prec,
+            flavor, self.consider_dt, self.cell_wise, self.prec_mode,
         )
 
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
