@@ -265,39 +265,47 @@ def _delta(sc, h1, hq, usq_max, usq_q, cell_wise):
 
 
 
-def _mm_maker(mode: str):
-    """In-kernel matmul at the requested accuracy/cost point.
+def _mm_tools(mode: str):
+    """In-kernel matmul tools at the requested accuracy/cost point.
+
+    Returns (split, mm): ``split(a)`` preprocesses an operand once (so
+    reused operands — the band matrices, each forward tensor — pay the
+    decomposition once per slab instead of once per dot), and
+    ``mm(A, B)`` contracts two preprocessed operands.
 
     - "full":  Precision.HIGHEST (6 bf16 MXU passes) — exact f32.
-    - "3x":    manual bf16x3 decomposition (3 DEFAULT passes): splits both
-      operands into bf16 hi/lo parts and drops only the lo*lo term
+    - "3x":    manual bf16x3 decomposition (3 DEFAULT passes): bf16
+      hi/lo split of both operands, dropping only the lo*lo term
       (~2^-32 relative) — f32-grade accuracy at half the passes of
-      HIGHEST. The kernel is MXU-pass-bound (round-2 probe: 579 us at
-      HIGHEST vs 204 us at DEFAULT), so this is the default.
+      HIGHEST. The kernel is MXU-pass-bound (round-2 probe: 576 us at
+      HIGHEST vs 222 us at DEFAULT per apply), so this is the default.
     - "bf16":  one DEFAULT pass — for operators that only ever run as
       preconditioner components (GMG level smoothers)."""
-    if mode == "full":
+    if mode != "3x":
+        prec = (jax.lax.Precision.HIGHEST if mode == "full"
+                else jax.lax.Precision.DEFAULT)
+
+        def split(a):
+            return a
+
         def mm(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-        return mm
-    if mode == "bf16":
-        def mm(a, b):
-            return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.DEFAULT)
-        return mm
+                           precision=prec)
+
+        return split, mm
 
     def d1p(x, y):
         return jnp.dot(x, y, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.DEFAULT)
 
+    def split(a):
+        hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+        return (hi, a - hi)
+
     def mm(a, b):
-        a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
-        a_lo = a - a_hi
-        b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
-        b_lo = b - b_hi
-        return d1p(a_hi, b_hi) + (d1p(a_lo, b_hi) + d1p(a_hi, b_lo))
-    return mm
+        return d1p(a[0], b[0]) + (d1p(a[1], b[0]) + d1p(a[0], b[1]))
+
+    return split, mm
 
 
 # ---------------------------------------------------------------------------
@@ -338,15 +346,18 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode):
             weight=scal_ref[0, 0], stau=scal_ref[1, 0], nu=scal_ref[2, 0],
             c1=scal_ref[3, 0], c2=scal_ref[4, 0],
         )
-        bs = bs_ref[:]
-        bd = bd_ref[:]
-        bys = bys_ref[:]
-        byd = byd_ref[:]
+        split, mm = _mm_tools(prec_mode)
+        bs = split(bs_ref[:])
+        bd = split(bd_ref[:])
+        bys = split(bys_ref[:])
+        byd = split(byd_ref[:])
+        bsT = split(bs_ref[:].T)
+        bdT = split(bd_ref[:].T)
+        bysT = split(bys_ref[:].T)
+        bydT = split(byd_ref[:].T)
         jinvL = [jinv_ref[r, 0] for r in range(9)]    # (NQ*ny, L)
         h1 = h_ref[0, 0]
         hq = h_ref[1, 0]
-
-        mm = _mm_maker(prec_mode)
 
         def fwd(plane_refs, lead, grads):
             """Per (comp, plane) xy-banded tensors on (NQ*ny, L):
@@ -356,11 +367,11 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode):
             Cg = [[None] * n_pl for _ in range(lead)] if grads else None
             for c in range(lead):
                 for k in range(n_pl):
-                    t = plane_refs[k][c, 0]          # (Yr, Nx)
-                    tx = mm(t, bs)                   # (Yr, L)
+                    t = split(plane_refs[k][c, 0])   # (Yr, Nx)
+                    tx = split(mm(t, bs))            # (Yr, L)
                     A[c][k] = mm(bys, tx)            # (NQ*ny, L)
                     if grads:
-                        B[c][k] = mm(bys, mm(t, bd))
+                        B[c][k] = mm(bys, split(mm(t, bd)))
                         Cg[c][k] = mm(byd, tx)
             return A, B, Cg
 
@@ -463,9 +474,12 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode):
         for c in range(C):
             planes = []
             for k in range(n_pl):
-                fS = mm(bys.T, accS[c][k]) + mm(byd.T, accDy[c][k])
-                fD = mm(bys.T, accDx[c][k])
-                planes.append(mm(fS, bs.T) + mm(fD, bd.T))
+                aS = split(accS[c][k])
+                aDy = split(accDy[c][k])
+                aDx = split(accDx[c][k])
+                fS = mm(bysT, aS) + mm(bydT, aDy)
+                fD = mm(bysT, aDx)
+                planes.append(mm(split(fS), bsT) + mm(split(fD), bdT))
             for k in range(1, P):
                 outA_ref[c, 0, k - 1] = planes[k]
             if P == 1:
@@ -512,20 +526,21 @@ def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec_mode):
             weight=scal_ref[0, 0], stau=scal_ref[1, 0], nu=scal_ref[2, 0],
             c1=scal_ref[3, 0], c2=scal_ref[4, 0],
         )
-        bs = bs_ref[:]
-        bd = bd_ref[:]
+        split, mm = _mm_tools(prec_mode)
+        bs = split(bs_ref[:])
+        bd = split(bd_ref[:])
+        bsT = split(bs_ref[:].T)
+        bdT = split(bd_ref[:].T)
         jinvL = [jinv_ref[r, 0] for r in range(4)]
         h1 = h_ref[0, 0]
         hq = h_ref[1, 0]
-
-        mm = _mm_maker(prec_mode)
 
         def fwd(plane_refs, lead, grads):
             S = [[None] * n_pl for _ in range(lead)]
             D = [[None] * n_pl for _ in range(lead)] if grads else None
             for c in range(lead):
                 for k in range(n_pl):
-                    t = plane_refs[k][c, 0]
+                    t = split(plane_refs[k][c, 0])
                     S[c][k] = mm(t, bs)
                     if grads:
                         D[c][k] = mm(t, bd)
@@ -621,7 +636,9 @@ def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec_mode):
         for c in range(C):
             planes = []
             for k in range(n_pl):
-                planes.append(mm(accS[c][k], bs.T) + mm(accD[c][k], bd.T))
+                planes.append(
+                    mm(split(accS[c][k]), bsT) + mm(split(accD[c][k]), bdT)
+                )
             for k in range(1, P):
                 outA_ref[c, 0, k - 1] = planes[k]
             if P == 1:
