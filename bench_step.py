@@ -52,6 +52,8 @@ def main():
             # match the reference benchmark config
             # (input_turek_3D_Re100.json): non-iterative coarse solve
             "gmg coarse grid iterate": False,
+            # rebuild smoother/coarse data once per step (PERF.md)
+            "preconditioner update granularity": "step:5",
             "nonlinear solver": "Newton",
             "newton inexact": True,
             "output granularity": 0.0,
@@ -89,6 +91,7 @@ def main():
             op_l.update_weight()
         d.solution.commit()
         d._set_previous_solution()
+        d._precond_stale = True
         new_u = d.nonlinear_solver.solve(d.solution.current)
         new_u = distribute(d.op.constraints_inhomogeneous, new_u)
         new_u = distribute(d.csets.full, new_u)

@@ -100,6 +100,14 @@ class Parameters:
     preconditioner: str = "ILU"
     gmg: GMGParameters = dataclasses.field(default_factory=GMGParameters)
     gmg_constraint_coarse_pressure_dof: bool = False
+    # "newton": rebuild diagonals/omegas/coarse hierarchy every Newton
+    # iteration (reference semantics, main.cc:815-839); "step": once per
+    # time step — the level linearization STATE is still refreshed every
+    # Newton iteration through the operator args, only the derived
+    # smoother/coarse data goes one iteration stale (it is a
+    # preconditioner; Krylov corrects). On TPU the rebuild is host/
+    # transfer-heavy, so "step" is a large per-step win.
+    preconditioner_update_granularity: str = "newton"
 
     # nonlinear solver: linearized|Picard|Newton
     nonlinear_solver: str = "linearized"
@@ -145,6 +153,8 @@ class Parameters:
         "lin absolute tolerance": "lin_absolute_tolerance",
         "lin relative tolerance": "lin_relative_tolerance",
         "preconditioner": "preconditioner",
+        "preconditioner update granularity":
+            "preconditioner_update_granularity",
         "gmg constraint coarse pressure dof": "gmg_constraint_coarse_pressure_dof",
         "nonlinear solver": "nonlinear_solver",
         "newton inexact": "newton_inexact",

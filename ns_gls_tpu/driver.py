@@ -452,7 +452,22 @@ class Driver:
                 levels = self._interpolate_to_levels(u)
                 for op_l, u_l in zip(self.mg_ops, levels):
                     op_l.set_linearization_point(u_l)
-            if hasattr(self.preconditioner, "initialize"):
+            gran = self.params.preconditioner_update_granularity
+            if gran == "newton":
+                rebuild = True
+            else:
+                # "step" or "step:N": rebuild on the first Newton
+                # iteration of every Nth time step
+                every = int(gran.split(":")[1]) if ":" in gran else 1
+                stale = getattr(self, "_precond_stale", True)
+                count = getattr(self, "_precond_step_count", 0)
+                if stale:
+                    self._precond_step_count = count = count + 1
+                    self._precond_stale = False
+                rebuild = stale and (
+                    count % every == 1 or every == 1 or count == 1
+                )
+            if hasattr(self.preconditioner, "initialize") and rebuild:
                 self.preconditioner.initialize()
             self.linear_solver.initialize()
 
@@ -544,6 +559,7 @@ class Driver:
 
                 self.solution.commit()
                 self._set_previous_solution()
+                self._precond_stale = True  # per-step precond granularity
 
                 new_u = self.nonlinear_solver.solve(self.solution.current)
 

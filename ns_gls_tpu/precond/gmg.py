@@ -209,6 +209,7 @@ class PreconditionerGMG:
         coarse factorization (called per Newton step,
         ``setup_preconditioner``, ``main.cc:815-839``)."""
         from ns_gls_tpu.ops.assembly import assemble_dense, compute_inverse_diagonal
+        from ns_gls_tpu.utils.timer import timer
 
         inv_diags = []
         omegas = []
@@ -217,13 +218,16 @@ class PreconditionerGMG:
                 inv_diags.append(())
                 omegas.append(())
                 continue
-            d = compute_inverse_diagonal(op)
+            with timer("mg_init::diagonal"):
+                d = compute_inverse_diagonal(op)
+                jax.block_until_ready(d)
             inv_diags.append(d)
-            omegas.append(
-                self._estimate_omega(
+            with timer("mg_init::omega"):
+                om = self._estimate_omega(
                     self.level_ops_apply[lvl].vmult_args, d, lvl
                 )
-            )
+                float(om)
+            omegas.append(om)
 
         coarse_lu = ()
         n_coarse = self.level_ops[0].n_nodes * self.level_ops[0].n_comp
@@ -266,7 +270,8 @@ class PreconditionerGMG:
                     self._coarse_amg = PreconditionerAMG(
                         self.level_ops[0], **kw
                     )
-                self._coarse_amg.initialize()
+                with timer("mg_init::coarse_amg"):
+                    self._coarse_amg.initialize()
                 coarse_lu = self._coarse_amg.vmult_args
                 self._coarse_kind = "amg"
 
