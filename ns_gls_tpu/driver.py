@@ -264,7 +264,8 @@ class Driver:
                 from ns_gls_tpu.precond.amg import PreconditionerAMG
 
                 self.preconditioner = PreconditionerAMG(
-                    getattr(self, "op_unsharded", self.op)
+                    getattr(self, "op_unsharded", self.op),
+                    matrix_free_fine=True,
                 )
             elif p.preconditioner == "Jacobi":
                 self.preconditioner = PreconditionerJacobi(

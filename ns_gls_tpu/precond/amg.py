@@ -32,6 +32,7 @@ class AMGLevel(NamedTuple):
 class AMGArgs(NamedTuple):
     levels: tuple
     coarse_lu: tuple
+    fine_args: tuple = ()   # matrix-free level-0 mode: the operator args
 
     @property
     def n_coarse(self) -> int:  # static (from array shape, not a leaf)
@@ -99,13 +100,23 @@ class PreconditionerAMG:
     """Aggregation AMG on the assembled (constrained) operator matrix."""
 
     def __init__(self, op, n_comp: int = None, max_coarse: int = 500,
-                 max_levels: int = 10, n_smooth: int = 2, theta: float = 0.08):
+                 max_levels: int = 10, n_smooth: int = 2, theta: float = 0.08,
+                 matrix_free_fine: bool = False):
         self.op = op
         self.n_comp = n_comp or op.n_comp
         self.max_coarse = max_coarse
         self.max_levels = max_levels
         self.n_smooth = n_smooth
         self.theta = theta
+        # matrix-free level 0: smoother/residual on the finest AMG level
+        # apply the OPERATOR instead of the assembled padded-ELL matrix.
+        # The ELL spmv on an unaggregated Q2-3D level gathers ~460 entries
+        # per dof row (~4 ns/row on TPU) — the matrix-free sweep is an
+        # order of magnitude faster there, the 30+ MB level-0 ELL tables
+        # disappear, and the linearization stays current between
+        # hierarchy rebuilds. Aggregation/Galerkin levels 1+ still use the
+        # assembled matrices (they are small).
+        self.matrix_free_fine = bool(matrix_free_fine)
         self._args: AMGArgs | None = None
         self._build_vcycle()
 
@@ -175,7 +186,12 @@ class PreconditionerAMG:
                 (np.ones(A.shape[0]), (np.arange(A.shape[0]), agg_dofs)),
                 shape=(A.shape[0], n_agg * C),
             ).tocsr()
-            cols_e, vals_e = _to_ell(A, dtype)
+            if self.matrix_free_fine and not levels:
+                nA = A.shape[0]
+                cols_e = jnp.zeros((nA, 0), jnp.int32)
+                vals_e = jnp.zeros((nA, 0), dtype)
+            else:
+                cols_e, vals_e = _to_ell(A, dtype)
             diag = A.diagonal()
             inv_diag = np.where(np.abs(diag) > 1e-12, 1.0 / diag, 1.0)
             # Jacobi damping from a Gershgorin-ish bound
@@ -199,30 +215,44 @@ class PreconditionerAMG:
             jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
         )
         lu = jax.scipy.linalg.lu_factor(jnp.asarray(A.todense(), lu_dt))
-        self._args = AMGArgs(levels=tuple(levels), coarse_lu=tuple(lu))
+        self._args = AMGArgs(
+            levels=tuple(levels), coarse_lu=tuple(lu),
+            fine_args=(self.op.vmult_args if self.matrix_free_fine else ()),
+        )
         self._n_levels = len(levels)
         self._frozen_aggs = frozen_aggs
 
     # ------------------------------------------------------------------
     def _build_vcycle(self):
         n_smooth = self.n_smooth
+        mf_fine = self.matrix_free_fine
+        op = self.op
+        C = self.n_comp
 
         def spmv(lvl: AMGLevel, x):
             return jnp.einsum("rk,rk->r", lvl.ell_vals, x[lvl.ell_cols])
-
-        def smooth(lvl, x, b):
-            for _ in range(n_smooth):
-                x = x + lvl.omega * lvl.inv_diag * (b - spmv(lvl, x))
-            return x
 
         def vmult_fn(args: AMGArgs, src):
             shape = src.shape
             b0 = src.reshape(-1)
 
+            def apply_lvl(k, x):
+                if k == 0 and mf_fine:
+                    return op.vmult_pure(
+                        args.fine_args, x.reshape(-1, C)
+                    ).reshape(-1)
+                return spmv(args.levels[k], x)
+
+            def smooth(k, x, b):
+                lvl = args.levels[k]
+                for _ in range(n_smooth):
+                    x = x + lvl.omega * lvl.inv_diag * (b - apply_lvl(k, x))
+                return x
+
             def down(k, b):
                 lvl = args.levels[k]
-                x = smooth(lvl, jnp.zeros_like(b), b)
-                r = b - spmv(lvl, x)
+                x = smooth(k, jnp.zeros_like(b), b)
+                r = b - apply_lvl(k, x)
                 n_next = (
                     args.levels[k + 1].inv_diag.shape[0]
                     if k + 1 < len(args.levels)
@@ -236,7 +266,7 @@ class PreconditionerAMG:
                         args.coarse_lu, rc.astype(args.coarse_lu[0].dtype)
                     ).astype(b.dtype)
                 x = x + xc[lvl.agg]
-                return smooth(lvl, x, b)
+                return smooth(k, x, b)
 
             if args.levels:
                 out = down(0, b0)

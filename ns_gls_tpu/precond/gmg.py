@@ -268,7 +268,7 @@ class PreconditionerGMG:
                               "max_coarse": 1000}
                     )
                     self._coarse_amg = PreconditionerAMG(
-                        self.level_ops[0], **kw
+                        self.level_ops[0], matrix_free_fine=True, **kw
                     )
                 with timer("mg_init::coarse_amg"):
                     self._coarse_amg.initialize()
