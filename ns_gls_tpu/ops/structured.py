@@ -59,6 +59,9 @@ class StructuredTables(NamedTuple):
     jinv: jnp.ndarray     # (d*d, n_slabs, R, NQ*nx)   R = NQ*ny | 1
     jxw: jnp.ndarray      # (NQ^(3-d+...): 3D NQ, 2D NQ, n_slabs, R, NQ*nx)
     h: jnp.ndarray        # (2, n_slabs, R, NQ*nx)
+    bdy: tuple = ()       # 3D batched kernel: (BD_S, BD_D, BD_S^T, BD_D^T)
+    #                       component-block-diagonal y bands on
+    #                       (C*NQ*ny, C*Yp) with Yp = Yr padded to 8
 
 
 def _class_offsets(P: int, n: int) -> dict:
@@ -119,9 +122,20 @@ def build_structured_tables(op) -> StructuredTables | None:
                 for qy in range(NQ):
                     band_Sy[qy * ny + ey, r] = S1[qy, j]
                     band_Dy[qy * ny + ey, r] = D1[qy, j]
+        C = d + 1
+        Yp = -(-Yr // 8) * 8
+        bdy_S = np.zeros((C * NQ * ny, C * Yp), np.float32)
+        bdy_D = np.zeros((C * NQ * ny, C * Yp), np.float32)
+        for c in range(C):
+            bdy_S[c * NQ * ny:(c + 1) * NQ * ny,
+                  c * Yp:c * Yp + Yr] = band_Sy
+            bdy_D[c * NQ * ny:(c + 1) * NQ * ny,
+                  c * Yp:c * Yp + Yr] = band_Dy
+        bdy = (bdy_S, bdy_D, bdy_S.T.copy(), bdy_D.T.copy())
     else:
         band_Sy = np.zeros((1, 1), np.float32)
         band_Dy = np.zeros((1, 1), np.float32)
+        bdy = tuple(np.zeros((1, 1), np.float32) for _ in range(4))
 
     # cells in (slab-major, y, x) order: slabs are z layers (3D) or y rows
     # (2D, degenerate per-slab y extent 1)
@@ -184,6 +198,7 @@ def build_structured_tables(op) -> StructuredTables | None:
         jinv=jnp.asarray(jinvP),
         jxw=jnp.asarray(jxwP),
         h=jnp.asarray(hP),
+        bdy=tuple(jnp.asarray(b) for b in bdy),
     )
 
 
@@ -333,6 +348,7 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode):
         bd_ref = next(it)
         bys_ref = next(it)
         byd_ref = next(it)
+        _bdy = [next(it) for _ in range(4)]
         jinv_ref = next(it)
         jxw_ref = next(it)
         h_ref = next(it)
@@ -490,6 +506,229 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode):
     return kernel
 
 
+
+# ---------------------------------------------------------------------------
+# the batched 3D kernel: all (component, plane) band contractions fused
+# into block matmuls on sublane-stacked tiles — ~30 MXU issues per slab
+# instead of ~110 (the kernel is MXU-issue-bound, PERF.md)
+# ---------------------------------------------------------------------------
+def _make_kernel_3d_batched(dims, flavor, consider_dt, cell_wise,
+                            prec_mode):
+    d = 3
+    P = dims["P"]
+    NQ = dims["NQ"]
+    nx = dims["nx"]
+    ny = dims["ny"]
+    C = dims["C"]
+    Yr = P * ny + 1
+    Yp = -(-Yr // 8) * 8
+    R = NQ * ny                 # per-component q-row extent
+    need_lin_grads = flavor == "increment"
+    need_dt_old = consider_dt and flavor in ("increment", "residual")
+    n_pl = P + 1
+
+    def kernel(*refs):
+        it = iter(refs)
+        scal_ref = next(it)
+        s1_ref = next(it)
+        d1t_ref = next(it)
+        bs_ref = next(it)
+        bd_ref = next(it)
+        _bys_ref = next(it)
+        _byd_ref = next(it)
+        bdyS_ref = next(it)
+        bdyD_ref = next(it)
+        bdyST_ref = next(it)
+        bdyDT_ref = next(it)
+        jinv_ref = next(it)
+        jxw_ref = next(it)
+        h_ref = next(it)
+        u_refs = [next(it) for _ in range(n_pl)]
+        ul_refs = [next(it) for _ in range(n_pl)]
+        vo_refs = [next(it) for _ in range(n_pl)]
+        outA_ref = next(it)
+        outB_ref = next(it)
+
+        sc = dict(
+            weight=scal_ref[0, 0], stau=scal_ref[1, 0], nu=scal_ref[2, 0],
+            c1=scal_ref[3, 0], c2=scal_ref[4, 0],
+        )
+        split, mm = _mm_tools(prec_mode)
+        bs = split(bs_ref[:])
+        bd = split(bd_ref[:])
+        bsT = split(bs_ref[:].T)
+        bdT = split(bd_ref[:].T)
+        bdyS = split(bdyS_ref[:])
+        bdyD = split(bdyD_ref[:])
+        bdyST = split(bdyST_ref[:])
+        bdyDT = split(bdyDT_ref[:])
+        jinvL = [jinv_ref[r, 0] for r in range(9)]    # (R, L)
+        h1 = h_ref[0, 0]
+        hq = h_ref[1, 0]
+        zrow = None
+
+        def stack_planes(plane_refs, lead, k):
+            """(C*Yp, Nx) sublane stack of plane k: per component the Yr
+            rows then Yp-Yr zero rows (missing components zero too)."""
+            nonlocal zrow
+            if zrow is None:
+                zrow = jnp.zeros((Yp - Yr, plane_refs[0].shape[-1]),
+                                 jnp.float32)
+            parts = []
+            for c in range(C):
+                if c < lead:
+                    parts.append(plane_refs[k][c, 0])
+                    parts.append(zrow)
+                else:
+                    parts.append(jnp.zeros((Yp, plane_refs[0].shape[-1]),
+                                           jnp.float32))
+            return jnp.concatenate(parts, axis=0)
+
+        def fwd(plane_refs, lead, grads):
+            """Per plane k: stacked (C*R, L) tensors A (val base),
+            B (x-deriv base), Cg (y-deriv base)."""
+            A, B, Cg = [], [], []
+            for k in range(n_pl):
+                t = split(stack_planes(plane_refs, lead, k))  # (C*Yp, Nx)
+                tx = split(mm(t, bs))                         # (C*Yp, L)
+                A.append(mm(bdyS, tx))                        # (C*R, L)
+                if grads:
+                    B.append(mm(bdyS, split(mm(t, bd))))
+                    Cg.append(mm(bdyD, tx))
+                else:
+                    B.append(None)
+                    Cg.append(None)
+            return A, B, Cg
+
+        UA, UB, UC = fwd(u_refs, C, True)
+        ULA, ULB, ULC = fwd(ul_refs, C, need_lin_grads)
+        VOA = fwd(vo_refs, d, False)[0] if need_dt_old else None
+
+        def zsum(planes, qz, tab):
+            acc = None
+            for k in range(n_pl):
+                t = tab[qz, k] * planes[k]
+                acc = t if acc is None else acc + t
+            return acc
+
+        def comp(t, c):
+            return t[c * R:(c + 1) * R]
+
+        # u* and |u*|^2 per qz from the stacked ul tensors
+        ustar = [
+            [comp(zsum(ULA, qz, s1_ref), a) for a in range(d)]
+            for qz in range(NQ)
+        ]
+        usq = [sum(u * u for u in us) for us in ustar]
+
+        if cell_wise:
+            m = usq[0]
+            for qz in range(1, NQ):
+                m = jnp.maximum(m, usq[qz])
+            mr = None
+            for qy in range(NQ):
+                sl = m[qy * ny:(qy + 1) * ny]
+                mr = sl if mr is None else jnp.maximum(mr, sl)
+            mx = None
+            for qx in range(NQ):
+                sl = mr[:, qx * nx:(qx + 1) * nx]
+                mx = sl if mx is None else jnp.maximum(mx, sl)
+            row = jnp.concatenate([mx] * NQ, axis=1) if NQ > 1 else mx
+            msq = jnp.concatenate([row] * NQ, axis=0) if NQ > 1 else row
+            d1_t, d2_t = _delta(sc, h1, hq, msq, None, True)
+
+        accS = [None] * n_pl      # stacked (C*R, L) accumulators
+        accDx = [None] * n_pl
+        accDy = [None] * n_pl
+
+        for qz in range(NQ):
+            valS = zsum(UA, qz, s1_ref)
+            dxS = zsum(UB, qz, s1_ref)
+            dyS = zsum(UC, qz, s1_ref)
+            dzS = zsum(UA, qz, d1t_ref)
+            u_val = [comp(valS, c) for c in range(C)]
+            dx = [comp(dxS, c) for c in range(C)]
+            dy = [comp(dyS, c) for c in range(C)]
+            dz = [comp(dzS, c) for c in range(C)]
+
+            def to_phys(gref):
+                return [
+                    sum(gref[r] * jinvL[r * d + x] for r in range(d))
+                    for x in range(d)
+                ]
+
+            u_grad = [to_phys([dx[a], dy[a], dz[a]]) for a in range(d)]
+            p_grad = to_phys([dx[d], dy[d], dz[d]])
+            gus = gps = None
+            if need_lin_grads:
+                ldxS = zsum(ULB, qz, s1_ref)
+                ldyS = zsum(ULC, qz, s1_ref)
+                ldzS = zsum(ULA, qz, d1t_ref)
+                gus = [
+                    to_phys([comp(ldxS, a), comp(ldyS, a), comp(ldzS, a)])
+                    for a in range(d)
+                ]
+                gps = to_phys(
+                    [comp(ldxS, d), comp(ldyS, d), comp(ldzS, d)]
+                )
+            dt_old = None
+            if need_dt_old:
+                voS = zsum(VOA, qz, s1_ref)
+                dt_old = [comp(voS, a) for a in range(d)]
+
+            if cell_wise:
+                d1_q, d2_q = d1_t, d2_t
+            else:
+                d1_q, d2_q = _delta(sc, h1, hq, None, usq[qz], False)
+
+            val_res, grad_res = _physics(
+                d, flavor, sc, u_val[:d], u_grad, u_val[d], p_grad,
+                ustar[qz], gus, gps, dt_old, d1_q, d2_q, consider_dt,
+            )
+
+            jxw_t = jxw_ref[qz, 0]
+            # re-stack the per-component integrands to (C*R, L)
+            W = jnp.concatenate(
+                [val_res[c] * jxw_t for c in range(C)], axis=0
+            )
+            G = []
+            for r in range(d):
+                G.append(jnp.concatenate(
+                    [
+                        sum(grad_res[c][x] * jinvL[r * d + x]
+                            for x in range(d)) * jxw_t
+                        for c in range(C)
+                    ],
+                    axis=0,
+                ))
+            for k in range(n_pl):
+                sz = s1_ref[qz, k]
+                dzw = d1t_ref[qz, k]
+                tS = sz * W + dzw * G[2]
+                tDx = sz * G[0]
+                tDy = sz * G[1]
+                accS[k] = tS if accS[k] is None else accS[k] + tS
+                accDx[k] = tDx if accDx[k] is None else accDx[k] + tDx
+                accDy[k] = tDy if accDy[k] is None else accDy[k] + tDy
+
+        for k in range(n_pl):
+            fS = mm(bdyST, split(accS[k])) + mm(bdyDT, split(accDy[k]))
+            fD = mm(bdyST, split(accDx[k]))
+            plane = mm(split(fS), bsT) + mm(split(fD), bdT)  # (C*Yp, Nx)
+            for c in range(C):
+                rows = plane[c * Yp:c * Yp + Yr]
+                if 1 <= k <= P - 1:
+                    outA_ref[c, 0, k - 1] = rows
+                elif k == 0:
+                    outB_ref[c, 0, 0] = rows
+                    if P == 1:
+                        outA_ref[c, 0, 0] = 0.0 * rows
+                else:
+                    outB_ref[c, 0, 1] = rows
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # the 2D kernel: grid over y-cell rows; x contraction on the MXU, y as
 # (P+1)-term scalar sums over the row-window refs
@@ -513,6 +752,7 @@ def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec_mode):
         bd_ref = next(it)
         _bys_ref = next(it)
         _byd_ref = next(it)
+        _bdy = [next(it) for _ in range(4)]
         jinv_ref = next(it)
         jxw_ref = next(it)
         h_ref = next(it)
@@ -711,6 +951,9 @@ class StructuredSweep:
         L = NQ * nx
         R = NQ * ny if d == 3 else 1     # cell-table row extent
         n_slabs = self.n_slabs
+        # the batched variant trades ~4x fewer MXU issues for ~3x more
+        # block-diagonal FLOPs; measured SLOWER on v5e (1943 vs 2657
+        # MDoF/s at ref5 Q2) — keep the per-(comp, plane) kernel
         make = _make_kernel_3d if d == 3 else _make_kernel_2d
         kernel = make(
             dict(d=d, P=P, NQ=NQ, nx=nx, ny=ny, C=C),
@@ -736,6 +979,7 @@ class StructuredSweep:
         in_specs = (
             [smem(), smem(), smem(), vmem_full(), vmem_full(),
              vmem_full(), vmem_full(),
+             vmem_full(), vmem_full(), vmem_full(), vmem_full(),
              cell_spec(d * d), cell_spec(NQ), cell_spec(2)]
             + [plane_spec(C, k) for k in range(n_pl)]
             + [plane_spec(C, k) for k in range(n_pl)]
@@ -782,8 +1026,9 @@ class StructuredSweep:
         ).reshape(8, 1)
         args = (
             [scal, tables.S1, tables.D1, tables.band_S, tables.band_D,
-             tables.band_Sy, tables.band_Dy,
-             tables.jinv, tables.jxw, tables.h]
+             tables.band_Sy, tables.band_Dy]
+            + list(tables.bdy)
+            + [tables.jinv, tables.jxw, tables.h]
             + [uT] * n_pl + [ulT] * n_pl + [voT] * n_pl
         )
         outA, outB = self.call(flavor)(*args)

@@ -123,6 +123,9 @@ class StructuredShardedOperator:
             band_Sy=jax.device_put(tables.band_Sy, self._repl),
             band_Dy=jax.device_put(tables.band_Dy, self._repl),
             S1=jax.device_put(tables.S1, self._repl),
+            bdy=tuple(
+                jax.device_put(b, self._repl) for b in tables.bdy
+            ),
             D1=jax.device_put(tables.D1, self._repl),
         )
         self._gidx = np.stack(
@@ -181,6 +184,7 @@ class StructuredShardedOperator:
                 band_S=P(), band_D=P(), band_Sy=P(), band_Dy=P(),
                 S1=P(), D1=P(),
                 jinv=P(AXIS), jxw=P(AXIS), h=P(AXIS),
+                bdy=tuple(P() for _ in self.tables.bdy),
             )
             return smap(
                 f,
