@@ -174,6 +174,15 @@ class PreconditionerAMG:
                 agg_nodes, n_agg = _strength_aggregates(
                     comp_sum.tocsr(), self.theta
                 )
+                if n_agg > 0.7 * nn:
+                    # coarsening stalled (typical for the pressure block of
+                    # the NS saddle-point RAP: zero diagonal -> useless
+                    # strength graph). Piling on barely-coarser levels
+                    # densifies the Galerkin matrices catastrophically
+                    # (observed: six ~1900-wide ELL levels = a 2.9 s
+                    # V-cycle apply); stop here and let the dense LU take
+                    # the current level instead.
+                    break
                 # P: dof (node, comp) -> (aggregate, comp)
                 agg_dofs = (
                     np.repeat(agg_nodes, C) * C + np.tile(np.arange(C), nn)
