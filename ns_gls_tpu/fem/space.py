@@ -271,7 +271,15 @@ class FESpace:
         self.structured = (
             mesh.lattice is not None and not self.iso_q1
         )
-        if self.structured:
+        self.prism = (
+            not self.structured
+            and not self.iso_q1
+            and mesh.dim == 3
+            and mesh.extr_mesh2d is not None
+        )
+        if self.prism:
+            self._build_prism_numbering()
+        elif self.structured:
             # structured patch: nodes ARE a lattice. The numbering is the
             # TPU fast path's storage layout (ops/structured.py): x is the
             # innermost (lane) axis, and the y/z lattice coordinates are
@@ -349,9 +357,9 @@ class FESpace:
         # parts" #1).  Nodes are RENUMBERED by contribution count so each
         # count-class gets a dense (n_class, K_class) gather table with no
         # padding waste (XLA TPU gathers cost ~constant per row).
-        if self.structured:
-            # lattice numbering must be preserved (it IS the fast path's
-            # gather); the general sweep on structured spaces falls back
+        if self.structured or self.prism:
+            # lattice/product numbering must be preserved (it IS the fast
+            # path's gather); the general sweep on these spaces falls back
             # to scatter-add, which only tests/CPU paths use
             self.node_gather_classes = []
             return
@@ -379,6 +387,85 @@ class FESpace:
                     idx[:, k] = order[starts[n0:n1] + k]
             self.node_gather_classes.append((n0, max(K, 1), idx))
             n0 = n1
+
+    def _build_prism_numbering(self):
+        """(node2d, z)-product numbering for extruded meshes (the prism
+        fast path, ops/prism.py): scalar node id = node2d * nz_nodes + z
+        with z innermost, so patch gathers move whole contiguous z-runs.
+        2D nodes are sorted by patch multiplicity so the seam-compress
+        gather classes are dense (same trick as the general transpose-
+        gather).  The 2D factor mesh is used combinatorially only —
+        geometry still comes from the 3D mapping."""
+        from ns_gls_tpu.fem.element import Element
+        from ns_gls_tpu.utils import native
+
+        mesh = self.mesh
+        P = self.degree
+        n1 = P + 1
+        m2 = mesh.extr_mesh2d
+
+        # 2D scalar numbering: dedup Q1-lattice positions on the 2D factor
+        el2 = Element(2, P, 2)
+        S1 = _q1_shape(el2.support_points)
+        q1_pos = np.einsum("li,cid->cld", S1, m2.vertices[m2.cells])
+        tol = max(m2.cell_min_vertex_distance().min() / 64.0, 1e-12)
+        key = np.round(q1_pos.reshape(-1, 2) / tol).astype(np.int64)
+        ids, n2d = native.unique_rows(key)
+        cell2d_nodes = ids.reshape(m2.n_cells, el2.n_loc).astype(np.int64)
+
+        # per-2D-coarse-cell patch lattices from the refinement chain
+        chain = []
+        cur = m2
+        while cur.prev is not None and cur.parent_cell is not None:
+            chain.append(cur)
+            cur = cur.prev
+        patch = np.arange(cur.n_cells, dtype=np.int64)
+        lat = np.zeros((cur.n_cells, 2), dtype=np.int64)
+        for gen in reversed(chain):
+            pc, ch = gen.parent_cell, gen.parent_child
+            assert (ch >= 0).all(), "adaptive 2D factor mesh"
+            off = np.stack([ch & 1, (ch >> 1) & 1], axis=1)
+            patch = patch[pc]
+            lat = 2 * lat[pc] + off
+        m_ref = 1 << len(chain)
+        self.n_patches = int(cur.n_cells)
+        self.patch_cells = m_ref            # cells per patch axis (mx = my)
+        self.patch_of_cell2d = patch
+        self.lattice_of_cell2d = lat
+
+        # patch node tables: patch_nodes[p, iy, ix] = 2D node id
+        Xn = P * m_ref + 1
+        patch_nodes = np.full((self.n_patches, Xn, Xn), -1, dtype=np.int64)
+        li = np.arange(el2.n_loc) % n1
+        lj = np.arange(el2.n_loc) // n1
+        gx = (P * lat[:, 0])[:, None] + li[None, :]
+        gy = (P * lat[:, 1])[:, None] + lj[None, :]
+        patch_nodes[patch[:, None], gy, gx] = cell2d_nodes
+        assert (patch_nodes >= 0).all()
+
+        # multiplicity-sorted renumbering of 2D nodes
+        mult = np.zeros(n2d, dtype=np.int64)
+        np.add.at(mult, patch_nodes.reshape(-1), 1)
+        perm = np.argsort(mult, kind="stable")
+        relabel = np.empty(n2d, dtype=np.int64)
+        relabel[perm] = np.arange(n2d)
+        cell2d_nodes = relabel[cell2d_nodes]
+        patch_nodes = relabel[patch_nodes]
+        self.n2d = int(n2d)
+        self.node2d_mult = mult[perm]
+        self.cell2d_nodes = cell2d_nodes.astype(np.int32)
+        self.patch_nodes = patch_nodes.astype(np.int32)
+
+        # 3D product numbering (local nodes lexicographic, x fastest)
+        self.nz_cells = int(mesh.extr_nz)
+        self.nz_nodes = P * self.nz_cells + 1
+        loc = np.arange(n1**3)
+        ij = loc % (n1 * n1)
+        kk = loc // (n1 * n1)
+        node2d = cell2d_nodes[mesh.extr_cell2d][:, ij]
+        z = (P * mesh.extr_layer)[:, None] + kk[None, :]
+        self.cell_nodes = (node2d * self.nz_nodes + z).astype(np.int32)
+        self.n_nodes = self.n2d * self.nz_nodes
 
     def build_face_batches(self, n_q1d: int, boundary_ids=None) -> list:
         """Boundary-face batches with an n_q1d-per-direction Gauss rule,

@@ -123,6 +123,17 @@ class Mesh:
     # *global* refinement, dropped on adaptive refinement/merging.
     lattice: np.ndarray = None           # (n_c, dim) int64 or None
     lattice_shape: tuple = None          # cells per axis or None
+    # extrusion metadata (TPU prism fast path, ops/prism.py): a 3D mesh
+    # built by ``extrude`` is (2D mesh) x (z lattice); *global* refinement
+    # preserves that product structure, so the 2D factor is refined in
+    # lockstep and every 3D cell keeps a (2D cell, z layer) address.
+    # Dropped on adaptive refinement.  The 2D factor mesh is used purely
+    # combinatorially (numbering/patches) — geometry always comes from the
+    # 3D mapping.
+    extr_mesh2d: "Mesh" = dataclasses.field(default=None, repr=False)
+    extr_cell2d: np.ndarray = None       # (n_c,) fine-2D cell of each cell
+    extr_layer: np.ndarray = None        # (n_c,) z layer of each cell
+    extr_nz: int = 0                     # number of z cell layers
 
     def __post_init__(self):
         if self.cell_level is None:
@@ -266,6 +277,18 @@ class Mesh:
             )
             new.lattice = 2 * self.lattice[new.parent_cell] + offs
             new.lattice_shape = tuple(2 * n for n in self.lattice_shape)
+        if self.extr_mesh2d is not None and flags.all() and self.dim == 3:
+            # lockstep-refine the 2D factor and re-address children:
+            # 3D child c = cx + 2*cy + 4*cz lives in the (cx, cy) 2D child
+            # of the parent's 2D cell, in z layer 2*layer + cz
+            m2 = self.extr_mesh2d.refine()
+            child2d = np.full((self.extr_mesh2d.n_cells, 4), -1, np.int64)
+            child2d[m2.parent_cell, m2.parent_child] = np.arange(m2.n_cells)
+            pc, ch = new.parent_cell, new.parent_child
+            new.extr_mesh2d = m2
+            new.extr_cell2d = child2d[self.extr_cell2d[pc], ch & 3]
+            new.extr_layer = 2 * self.extr_layer[pc] + (ch >> 2)
+            new.extr_nz = 2 * self.extr_nz
         return new
 
     def smooth_flags(self, flags: np.ndarray) -> np.ndarray:
@@ -605,4 +628,10 @@ class Mesh:
                 None if self.parent_child is None else self.parent_child[perm]
             ),
             lattice=None if self.lattice is None else self.lattice[perm],
+            extr_cell2d=(
+                None if self.extr_cell2d is None else self.extr_cell2d[perm]
+            ),
+            extr_layer=(
+                None if self.extr_layer is None else self.extr_layer[perm]
+            ),
         )

@@ -237,6 +237,12 @@ def extrude(mesh2d: Mesh, n_slices: int, height: float) -> Mesh:
         manifolds=dict(mesh2d.manifolds),
         edge_manifold=edge_manifold,
         face_manifold=face_manifold,
+        # product-structure metadata for the prism fast path: cell index
+        # is layer-major (cells[l*n_c2 + c2d])
+        extr_mesh2d=mesh2d,
+        extr_cell2d=np.tile(np.arange(n_c2, dtype=np.int64), n_layers),
+        extr_layer=np.repeat(np.arange(n_layers, dtype=np.int64), n_c2),
+        extr_nz=n_layers,
     )
     mesh.set_boundary_ids(lambda c: np.zeros(len(c), np.int32))
     return mesh
