@@ -226,6 +226,7 @@ class NavierStokesOperator:
         # it consumes the linearization VECTORS, so force fused tables
         self._structured_tables = None
         self._ssweep = None
+        self._psweep = None
         self.structured_precision = structured_precision
         if use_structured is None:
             # auto: the fused kernel is a TPU program; its interpret-mode
@@ -243,6 +244,18 @@ class NavierStokesOperator:
             if self._structured_tables is not None:
                 self.fuse_tables = True
                 self._ssweep = StructuredSweep(self)
+            else:
+                # extruded-mesh (prism) fast path (ops/prism.py) — the
+                # Turek/Hoffmann 3D flagship meshes
+                from ns_gls_tpu.ops.prism import (
+                    PrismSweep,
+                    build_prism_tables,
+                )
+
+                self._structured_tables = build_prism_tables(self)
+                if self._structured_tables is not None:
+                    self.fuse_tables = True
+                    self._psweep = PrismSweep(self)
 
         self.batch = CellBatch(
             S=jnp.asarray(S, dtype),
@@ -331,15 +344,19 @@ class NavierStokesOperator:
             u_lin=z((nn, C)),
             vec_old=z((nn, C)),
             u_old=z((nn if self.theta != 1.0 else 0, C)),
-            u_linT=z(
-                (C,) + self._ssweep.lattice_shape
-                if self._ssweep is not None else (0,)
-            ),
-            vec_oldT=z(
-                (d,) + self._ssweep.lattice_shape
-                if self._ssweep is not None else (0,)
-            ),
+            u_linT=z(self._fast_path_view_shape(C)),
+            vec_oldT=z(self._fast_path_view_shape(d)),
         )
+
+    def _fast_path_view_shape(self, lead: int) -> tuple:
+        """Shape of the fast-path linearization view: a free lattice
+        reshape (structured) or the pre-gathered patch planes (prism)."""
+        if self._ssweep is not None:
+            return (lead,) + self._ssweep.lattice_shape
+        if self._psweep is not None:
+            sw = self._psweep
+            return (lead, sw.n_groups * sw.PlY, sw.XrG, sw.Nzn)
+        return (0,)
 
     # ------------------------------------------------------------------
     # q-point physics (shape-agnostic over leading dims (..., n_q))
@@ -507,6 +524,28 @@ class NavierStokesOperator:
         )
         return rT.reshape(C, -1).T
 
+    def _prism_apply(self, b: CellBatch, state: NSState, u_eff,
+                     flavor: str):
+        """Fused prism sweep (ops/prism.py): product-layout view in/out;
+        u is patch-gathered here, the linearization tensors are
+        pre-gathered in the state."""
+        sw = self._psweep
+        C = self.n_comp
+        tables = b.structured[0]
+        u2d = u_eff.T.reshape(C, sw.n2d, sw.Nzn)
+        uP = sw.gather(tables, u2d)
+        r2d = sw.apply(
+            tables, state.weight, state.stau, uP,
+            state.u_linT, state.vec_oldT, flavor
+        )
+        return r2d.reshape(C, -1).T
+
+    def _fast_apply(self, b: CellBatch, state: NSState, u_eff,
+                    flavor: str):
+        if self._ssweep is not None:
+            return self._structured_apply(b, state, u_eff, flavor)
+        return self._prism_apply(b, state, u_eff, flavor)
+
     def _cell_sweep(self, b: CellBatch, state: NSState, u,
                     residual_form: bool):
         """The hot fused sweep: gather -> evaluate -> physics -> integrate
@@ -606,9 +645,9 @@ class NavierStokesOperator:
             # matrix-free sandwich: dst = Cᵀ A C u ; dst[constrained] = u
             batch, faces, state = args
             u_eff = cstr.distribute(ch, u, homogeneous=True)
-            if self._ssweep is not None:
+            if self._ssweep is not None or self._psweep is not None:
                 flavor = "increment" if self.increment_form else "fixed"
-                r = self._structured_apply(batch, state, u_eff, flavor)
+                r = self._fast_apply(batch, state, u_eff, flavor)
             else:
                 r = self._cell_sweep(batch, state, u_eff,
                                      residual_form=False)
@@ -623,8 +662,8 @@ class NavierStokesOperator:
             # (``evaluate_residual``, ``operator_ns.cc:648-682``)
             batch, faces, state = args
             tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
-            if self._ssweep is not None:
-                r = self._structured_apply(batch, state, tmp, "residual")
+            if self._ssweep is not None or self._psweep is not None:
+                r = self._fast_apply(batch, state, tmp, "residual")
             else:
                 r = self._cell_sweep(batch, state, tmp, residual_form=True)
             if self.needs_face_integrals:
@@ -689,6 +728,14 @@ class NavierStokesOperator:
                 shp = self._ssweep.lattice_shape
                 new = new._replace(
                     u_linT=u.T.reshape((self.n_comp,) + shp)
+                )
+            elif self._psweep is not None:
+                sw = self._psweep
+                new = new._replace(
+                    u_linT=sw.gather(
+                        batch.structured[0],
+                        u.T.reshape(self.n_comp, sw.n2d, sw.Nzn),
+                    )
                 )
             if self.cell_wise_stabilization:
                 u_loc = u[batch.cell_nodes][..., :d]
@@ -790,6 +837,14 @@ class NavierStokesOperator:
                 shp = self._ssweep.lattice_shape
                 new = new._replace(
                     vec_oldT=vec_old[:, :d].T.reshape((d,) + shp)
+                )
+            elif self._psweep is not None:
+                sw = self._psweep
+                new = new._replace(
+                    vec_oldT=sw.gather(
+                        batch.structured[0],
+                        vec_old[:, :d].T.reshape(d, sw.n2d, sw.Nzn),
+                    )
                 )
             if self.theta != 1.0:
                 new = new._replace(u_old=u_old)
