@@ -122,6 +122,9 @@ class Parameters:
     precision: str = "f64"          # f64|f32 outer solve dtype
     mg_precision: str = "f32"       # MG level dtype (ref: MGNumber=float)
     n_devices: int = 1              # device-mesh size for cell sharding
+    # "halo": node-sharded O(halo) ppermute exchange (parallel/halo.py);
+    # "replicated": replicated DoFs + psum (parallel/sharding.py)
+    parallel_strategy: str = "halo"
     checkpoint_prefix: str = ""     # orbax-style checkpointing (new, §5.4)
     checkpoint_granularity: float = 0.0
 
@@ -164,6 +167,7 @@ class Parameters:
         "precision": "precision",
         "mg precision": "mg_precision",
         "n devices": "n_devices",
+        "parallel strategy": "parallel_strategy",
         "checkpoint prefix": "checkpoint_prefix",
         "checkpoint granularity": "checkpoint_granularity",
     }

@@ -232,7 +232,17 @@ class Driver:
                 )
             self.op_unsharded = self.op
             self.device_mesh = make_device_mesh(devices)
-            self.op = ShardedOperator(self.op, self.device_mesh)
+            strategy = p.parallel_strategy
+            if strategy == "halo" and p.use_matrix_free_ns_operator:
+                # node-sharded O(halo) ppermute exchange — the scalable
+                # p4est-partition analogue (``operator_ns.cc:260,346``)
+                from ns_gls_tpu.parallel.halo import HaloShardedOperator
+
+                self.op = HaloShardedOperator(self.op, self.device_mesh)
+            elif strategy in ("halo", "replicated"):
+                self.op = ShardedOperator(self.op, self.device_mesh)
+            else:
+                raise ValueError(f"unknown parallel strategy {strategy}")
 
         if not p.use_matrix_free_ns_operator:
             # assembled-SpMV fallback (``main.cc:351-364``; reference

@@ -140,7 +140,91 @@ class SimulationCylinder(SimulationBase):
         if r == 0 and n_global_refinements == 0:
             mesh.edge_manifold.clear()
             mesh.face_manifold.clear()
+        if self.rotate:
+            self._apply_chain(mesh, self._rotated_vertices(mesh.vertices))
+        if self.distortion != 0.0:
+            self._apply_chain(mesh, self._distorted_vertices(mesh))
         return mesh
+
+    # ------------------------------------------------------------------
+    # roughness-study vertex machinery (``simulation.cc:328-375``)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _apply_chain(mesh, new_verts):
+        """Apply a fine-mesh vertex displacement to the whole GMG
+        refinement chain: parent-level vertices are an index prefix of
+        the fine mesh's (``Mesh.refine`` vstacks new points), which is
+        exactly the reference's global-coarsening behavior (coarse level
+        geometry = subset of the deformed fine vertices)."""
+        disp = new_verts - mesh.vertices
+        m = mesh
+        while m is not None:
+            m.vertices = m.vertices + disp[: len(m.vertices)]
+            m = m.prev
+
+    def _rotated_vertices(self, verts):
+        """``simulation rotate`` (``simulation.cc:328-372``): rotate the
+        (possibly polygonal) cylinder surface by 0.2 rad, blending the
+        rotation to zero on the |x|,|y| = D box around the cylinder —
+        the cylinder-roughness phase parameter of the study."""
+        D = self.geometry_cylinder_diameter
+        angle = 0.2
+        rl = self.reset_manifold_level
+        # polygonal surfaces sit at the chord radius, not D/2
+        factor_i = 1.0 if rl == -1 else np.cos(np.pi / 8.0 / (1 + rl))
+        xy = verts[:, :2]
+        inside = (np.abs(xy[:, 0]) <= D - 1e-6) & (
+            np.abs(xy[:, 1]) <= D - 1e-6
+        )
+        sel = xy[inside]
+        r = np.linalg.norm(sel, axis=1)
+        box = D / np.maximum(
+            np.maximum(np.abs(sel[:, 0]), np.abs(sel[:, 1])), 1e-300
+        )
+        c = factor_i * D / 2.0
+        # t = 0 on the cylinder surface (full rotation), 1 on the box
+        t = ((r - c) / (r * box - c))[:, None]
+        ca, sa = np.cos(angle), np.sin(angle)
+        rot = sel @ np.array([[ca, sa], [-sa, ca]])
+        out = verts.copy()
+        out[inside, :2] = rot * (1.0 - t) + sel * t
+        return out
+
+    def _distorted_vertices(self, mesh, seed: int = 0):
+        """``simulation distortion`` (``simulation.cc:374-375``,
+        ``GridTools::distort_random`` semantics): displace every interior
+        vertex by a random vector bounded by factor x (shortest incident
+        edge); boundary vertices stay put."""
+        from ns_gls_tpu.fem.element import cell_edge_vertices
+
+        verts = mesh.vertices
+        n_v = len(verts)
+        dim = mesh.dim
+        edges = np.asarray(cell_edge_vertices(dim))
+        a = mesh.cells[:, edges[:, 0]].ravel()
+        b = mesh.cells[:, edges[:, 1]].ravel()
+        ln = np.linalg.norm(verts[a] - verts[b], axis=1)
+        min_len = np.full(n_v, np.inf)
+        np.minimum.at(min_len, a, ln)
+        np.minimum.at(min_len, b, ln)
+
+        from ns_gls_tpu.fem.element import cell_face_vertices
+
+        on_bdy = np.zeros(n_v, dtype=bool)
+        fv = cell_face_vertices(dim)
+        for f in range(2 * dim):
+            cb = mesh.boundary_ids[:, f] >= 0
+            if cb.any():
+                on_bdy[mesh.cells[cb][:, fv[f]].ravel()] = True
+
+        rng = np.random.default_rng(seed)
+        direction = rng.standard_normal((n_v, dim))
+        direction /= np.maximum(
+            np.linalg.norm(direction, axis=1, keepdims=True), 1e-300
+        )
+        amp = self.distortion * min_len * rng.uniform(-1.0, 1.0, n_v)
+        amp[on_bdy] = 0.0
+        return verts + direction * amp[:, None]
 
     def mapping_degree(self, fe_degree: int, requested: int) -> int:
         # the reference's roughness mapping is a Q1 MappingQCache morph

@@ -68,6 +68,29 @@ class PrismTables(NamedTuple):
     compress: tuple       # per multiplicity class: (n_k, K) int32 flat rows
 
 
+def _pick_G(n_patches, Xr, NQ, mx, nz, Nzn, C, P) -> int:
+    """Patches per kernel row group, adaptive to the ~16 MB Mosaic
+    scoped-VMEM stack: the kernel keeps O(C*(P+1)) live (RG, lane)
+    f32 arrays whose lane extent pads to 128, so G (which scales the
+    row extent RG = G*NQ*mx) is the only free knob.  Hard cap: the
+    block-diagonal patch-x band needs K = G*Xr <= 128 MXU columns."""
+    import os
+
+    env = os.environ.get("NS_PRISM_G")
+    if env:
+        return max(1, min(int(env), n_patches, 128 // Xr))
+    d = 3
+    lane_p = -(-max(NQ * nz, Nzn) // 128) * 128
+    # conservative live-array census (bases, accumulators, physics
+    # temporaries), calibrated on the observed ref-1 stack usage
+    n_live = int(1.4 * (C * (P + 1) * 9 + d * (P + 1) + NQ * (d + 1) + 45))
+    budget = 13 * 2**20
+    rg_max = budget // (n_live * lane_p * 4)
+    rg_max = max(8, rg_max // 8 * 8)
+    G = max(1, min(n_patches, 128 // Xr, rg_max // (NQ * mx)))
+    return G
+
+
 def _cg_rank(i: np.ndarray, n: int, P: int) -> np.ndarray:
     """Natural lattice index (0..P*n) -> class-grouped rank (classes
     1..P-1 of n entries each, then class 0 of n+1 entries)."""
@@ -97,7 +120,8 @@ def build_prism_tables(op):
     L = NQ * nz
     Xn = P * mx + 1            # 2D patch lattice extent per axis
     n_patches = space.n_patches
-    G = max(1, min(n_patches, 128 // Xr))
+    C = space.dim + 1
+    G = _pick_G(n_patches, Xr, NQ, mx, nz, Nzn, C, P)
     n_groups = -(-n_patches // G)
     XrG = G * Xr
     RG = G * NQ * mx
@@ -458,7 +482,8 @@ class PrismSweep:
         self.Nzn = space.nz_nodes
         self.n2d = space.n2d
         self.n_patches = space.n_patches
-        self.G = max(1, min(self.n_patches, 128 // self.Xr))
+        self.G = _pick_G(self.n_patches, self.Xr, self.NQ, self.mx,
+                         self.nz, self.Nzn, self.C, P)
         self.n_groups = -(-self.n_patches // self.G)
         self.XrG = self.G * self.Xr
         self.PlY = P * self.my + 1

@@ -1,0 +1,686 @@
+"""General-mesh node-sharded operator: SFC partition + ppermute halo.
+
+The scalable multi-chip path for UNSTRUCTURED meshes — the TPU-native
+re-design of the reference's partitioned DoF vectors with ghost
+update/compress (``operator_ns.cc:260,346,634-639``; ``main.cc:265-266``;
+p4est SFC partition ``main.cc:230-233``):
+
+- cells are ordered along a Morton curve and chunked contiguously across
+  a 1-D device mesh (the p4est partition); each node is OWNED by the
+  lowest-rank device whose cells touch it,
+- each device works on a LOCAL window ``[owned | ghosts | trash]``: its
+  owned nodes, the ghost nodes its cells (and constraint masters) need,
+  plus one trash slot absorbing padded index traffic,
+- the apply is one ``shard_map``: fill owned -> ghost-exchange
+  (``lax.ppermute``, one round per SFC-neighbor distance, payload =
+  O(ghost) — the ``update_ghost_values`` analogue) -> per-device
+  constraint distribute -> local gather/evaluate/physics/integrate/
+  scatter sweep -> per-device constraint condense -> reverse exchange
+  scatter-add (the ``compress(add)`` analogue) -> owned slice.
+  Per-apply collective volume is O(halo), independent of N,
+- distributed vectors have layout (n_dev, n_own_max, C), sharded on axis
+  0 with zero padding, so Krylov dot products reduce with one psum and
+  need no ownership masks,
+- constraints (Dirichlet / hanging / slip / periodic) are localized per
+  device: every device that sees a constrained node resolves it from its
+  local master copies (consistent by construction), and the write-side
+  Cᵀ moves each device's own partial onto local masters before the
+  compress sums them at the owners.
+
+The GMG V-cycle currently runs on the replicated layout; the linear
+solver converts at the preconditioner boundary (O(N) there, O(halo) for
+every operator apply).  ``StructuredShardedOperator`` stays the
+specialised fast path for structured lattices.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ns_gls_tpu.fem.constraints import ConstraintArrays
+from ns_gls_tpu.ops.navier_stokes import (
+    CellBatch,
+    NavierStokesOperator,
+    fe_evaluate,
+    fe_integrate,
+)
+
+AXIS = "cells"
+
+
+class HaloFaceBlock(NamedTuple):
+    """Face batch in local-slot numbering, device-major (axis 0)."""
+
+    S: jnp.ndarray          # (n_fq, n_loc)           replicated
+    D: jnp.ndarray          # (n_fq, n_loc, dim)      replicated
+    nodes: jnp.ndarray      # (n_dev, n_bf, n_loc)    local slots
+    jxw: jnp.ndarray        # (n_dev, n_bf, n_fq)     0 on pads
+    normals: jnp.ndarray
+    jinv: jnp.ndarray
+    beta_eff: jnp.ndarray
+    is_cut: jnp.ndarray
+    is_nitsche: jnp.ndarray
+    src: jnp.ndarray        # (n_dev, n_bf) int32 global face index (host)
+
+
+class HaloArgs(NamedTuple):
+    """Dynamic pytree for the jitted halo apply (all device-major)."""
+
+    batch: CellBatch        # chunked per device (leading axis n_dev)
+    faces: tuple            # HaloFaceBlock per block
+    state: tuple            # localized NSState-like dict (see _local_state)
+    cstr_h: ConstraintArrays    # homogeneous, local slots (all rows seen)
+    cstr_own: ConstraintArrays  # homogeneous rows owned by the device
+    cstr_i: ConstraintArrays    # inhomogeneous, local slots
+
+
+def _pad_rows(a: np.ndarray, n: int, fill=0):
+    if a.shape[0] == n:
+        return a
+    pad = np.full((n - a.shape[0],) + a.shape[1:], fill, a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+class HaloShardedOperator:
+    """Node-sharded wrapper around a general :class:`NavierStokesOperator`.
+
+    ``vmult_pure(args, u)`` / ``residual_pure`` operate on distributed
+    (n_dev, n_own_max, C) vectors; ``to_dist`` / ``to_global`` convert at
+    solver boundaries.  The plain ``vmult``/``evaluate_residual`` accept
+    and return GLOBAL vectors (drop-in for ``ShardedOperator``).
+    """
+
+    def __init__(self, op: NavierStokesOperator, mesh: Mesh):
+        self.op = op
+        self.mesh = mesh
+        self.n_dev = n_dev = int(mesh.devices.size)
+        space = op.space
+        C = op.n_comp
+        n_c = space.mesh.n_cells
+        n_nodes = op.n_nodes
+        cell_nodes = np.asarray(space.cell_nodes)
+
+        # ---- SFC partition (p4est analogue) ---------------------------
+        perm = space.mesh.sfc_order()
+        self.chunk = chunk = -(-n_c // n_dev)
+        cells_of = [
+            perm[d * chunk: min((d + 1) * chunk, n_c)] for d in range(n_dev)
+        ]
+
+        # ---- ownership + local windows --------------------------------
+        touched = [np.unique(cell_nodes[cd]) for cd in cells_of]
+        owner = np.full(n_nodes, n_dev, np.int64)
+        for d in range(n_dev - 1, -1, -1):
+            owner[touched[d]] = d
+        assert owner.max() < n_dev, "orphan nodes"
+
+        # constraint masters must be resolvable locally: extend each
+        # window with the master nodes of every constraint whose row node
+        # the device sees (hanging/slip/periodic; chains are resolved at
+        # close(), so one extension round suffices)
+        ch = op.constraints_homogeneous
+        ci = op.constraints_inhomogeneous
+        assert ci is not None, "set constraints_inhomogeneous before sharding"
+        masters_of = {}
+        for ca in (ch, ci):
+            rows = np.asarray(ca.rows)
+            if rows.size == 0:
+                continue
+            rnode = rows // C
+            cnode = np.asarray(ca.cols) // C
+            w = np.asarray(ca.weights)
+            for i in range(len(rows)):
+                deps = np.unique(cnode[i][w[i] != 0.0])
+                if deps.size:
+                    prev = masters_of.get(int(rnode[i]))
+                    masters_of[int(rnode[i])] = (
+                        deps if prev is None else np.union1d(prev, deps)
+                    )
+
+        local = []
+        for d in range(n_dev):
+            ext = [touched[d]]
+            for n in touched[d]:
+                m = masters_of.get(int(n))
+                if m is not None:
+                    ext.append(m)
+            local.append(np.unique(np.concatenate(ext)))
+
+        own = [ld[owner[ld] == d] for d, ld in enumerate(local)]
+        ghost = [ld[owner[ld] != d] for d, ld in enumerate(local)]
+        self.n_own_max = n_own_max = max(len(o) for o in own)
+        n_gh_max = max((len(g) for g in ghost), default=0)
+        # local slot layout: [owned | ghosts | trash]
+        self.n_loc = n_loc = n_own_max + n_gh_max
+        self.trash = n_loc
+
+        g2l = np.full((n_dev, n_nodes), n_loc, np.int64)
+        own_global = np.zeros((n_dev, n_own_max), np.int64)
+        own_mask = np.zeros((n_dev, n_own_max), bool)
+        loc_global = np.zeros((n_dev, n_loc + 1), np.int64)
+        for d in range(n_dev):
+            g2l[d, own[d]] = np.arange(len(own[d]))
+            g2l[d, ghost[d]] = n_own_max + np.arange(len(ghost[d]))
+            own_global[d, : len(own[d])] = own[d]
+            own_mask[d, : len(own[d])] = True
+            loc_global[d, : len(own[d])] = own[d]
+            loc_global[d, n_own_max: n_own_max + len(ghost[d])] = ghost[d]
+        self._own_global = jnp.asarray(own_global)
+        self._own_mask = jnp.asarray(own_mask)
+        self._loc_global = jnp.asarray(loc_global)
+
+        # ---- ghost-exchange plan (one ppermute round per distance) ----
+        # ghost g on device d comes from owner o = owner[g]; round key
+        # delta = d - o. For each delta, device o sends the values of its
+        # owned slots send_idx[o] and device o+delta writes them at its
+        # ghost slots recv_idx[o+delta].
+        plans = {}
+        for d in range(n_dev):
+            if not len(ghost[d]):
+                continue
+            og = owner[ghost[d]]
+            for o in np.unique(og):
+                delta = int(d - o)
+                nodes = ghost[d][og == o]
+                plans.setdefault(delta, {})[int(o)] = nodes
+        self._rounds = []
+        for delta in sorted(plans):
+            by_src = plans[delta]
+            L = max(len(v) for v in by_src.values())
+            send = np.full((n_dev, L), 0, np.int64)        # owned slots
+            recv = np.full((n_dev, L), n_loc, np.int64)    # ghost slots
+            pairs = []
+            for o, nodes in sorted(by_src.items()):
+                send[o] = _pad_rows(g2l[o, nodes], L, 0)
+                recv[o + delta] = _pad_rows(g2l[o + delta, nodes], L, n_loc)
+                pairs.append((o, o + delta))
+            self._rounds.append(
+                (tuple(pairs), jnp.asarray(send), jnp.asarray(recv))
+            )
+        self.halo_bytes = int(
+            sum(s.shape[1] * len(p) for p, s, _ in self._rounds)
+        ) * C * np.dtype(np.float32).itemsize
+
+        # ---- chunked cell batch in local numbering --------------------
+        b = op.batch
+
+        def chunk_cells(x, fill=0.0):
+            x = np.asarray(x)
+            out = np.full((n_dev, chunk) + x.shape[1:], fill, x.dtype)
+            for d, cd in enumerate(cells_of):
+                out[d, : len(cd)] = x[cd]
+            return jnp.asarray(out)
+
+        cn_loc = np.zeros((n_dev, chunk, cell_nodes.shape[1]), np.int64)
+        for d, cd in enumerate(cells_of):
+            cn_loc[d, : len(cd)] = g2l[d, cell_nodes[cd]]
+        self.batch = CellBatch(
+            S=b.S,
+            D=b.D,
+            jinv=chunk_cells(b.jinv),
+            jxw=chunk_cells(b.jxw),          # pad cells: jxw = 0
+            cell_nodes=jnp.asarray(cn_loc.astype(np.int32)),
+            h_min_vertex=chunk_cells(b.h_min_vertex, fill=1.0),
+            h_q=chunk_cells(b.h_q, fill=1.0),
+            node_gather=(),
+        )
+        self._cells_of = cells_of
+
+        # ---- constraints localized to the windows ---------------------
+        self._g2l = g2l
+        self._cstr_h = self._localize_cstr(ch, owned_only=False)
+        self._cstr_own = self._localize_cstr(ch, owned_only=True, owner=owner)
+        self._ci_struct = None   # static structure of the inhom set
+        self._set_cstr_inhom(ci)
+
+        # ---- faces ----------------------------------------------------
+        self.face_blocks: tuple[HaloFaceBlock, ...] = ()
+        if op.needs_face_integrals:
+            cell_dev = np.empty(n_c, np.int64)
+            for d, cd in enumerate(cells_of):
+                cell_dev[cd] = d
+            blocks = []
+            for fb in op.face_blocks:
+                fc = np.asarray(fb.cells)
+                fd = cell_dev[fc]
+                n_bf = max(np.bincount(fd, minlength=n_dev).max(), 1)
+
+                def fpack(x, fill=0.0):
+                    x = np.asarray(x)
+                    out = np.full((n_dev, n_bf) + x.shape[1:], fill, x.dtype)
+                    for d in range(n_dev):
+                        sel = np.nonzero(fd == d)[0]
+                        out[d, : len(sel)] = x[sel]
+                    return jnp.asarray(out)
+
+                nodes = np.full(
+                    (n_dev, n_bf, cell_nodes.shape[1]), n_loc, np.int64
+                )
+                src = np.zeros((n_dev, n_bf), np.int64)
+                for d in range(n_dev):
+                    sel = np.nonzero(fd == d)[0]
+                    nodes[d, : len(sel)] = g2l[d, cell_nodes[fc[sel]]]
+                    src[d, : len(sel)] = sel
+                blocks.append(
+                    HaloFaceBlock(
+                        S=fb.S, D=fb.D,
+                        nodes=jnp.asarray(nodes.astype(np.int32)),
+                        jxw=fpack(fb.jxw),
+                        normals=fpack(fb.normals),
+                        jinv=fpack(fb.jinv),
+                        beta_eff=fpack(fb.beta_eff),
+                        is_cut=fpack(fb.is_cut, fill=False),
+                        is_nitsche=fpack(fb.is_nitsche, fill=False),
+                        src=jnp.asarray(src),
+                    )
+                )
+            self.face_blocks = tuple(blocks)
+
+        self._shard = NamedSharding(mesh, P(AXIS))
+        self._repl = NamedSharding(mesh, P())
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _localize_cstr(self, ca: ConstraintArrays, owned_only: bool,
+                       owner=None) -> ConstraintArrays:
+        """Constraint arrays in local slot numbering, device-major.
+        Returns (n_dev, L[, ...]) arrays; also records the global->slot
+        selection for fast per-step inhomogeneity refresh."""
+        C = self.op.n_comp
+        n_dev, n_loc = self.n_dev, self.n_loc
+        rows = np.asarray(ca.rows)
+        cols = np.asarray(ca.cols)
+        w = np.asarray(ca.weights)
+        inh = np.asarray(ca.inhom)
+        rnode, rcomp = rows // C, rows % C
+        sels, rloc, cloc = [], [], []
+        for d in range(n_dev):
+            here = self._g2l[d, rnode] < n_loc
+            if owned_only:
+                here &= owner[rnode] == d
+            sel = np.nonzero(here)[0]
+            sels.append(sel)
+            rloc.append(self._g2l[d, rnode[sel]] * C + rcomp[sel])
+            cl = self._g2l[d, cols[sel] // C] * C + cols[sel] % C
+            # deps with zero weight may lie outside the window: point at 0
+            cl = np.where(w[sel] != 0.0, cl, 0)
+            assert (cl < n_loc * C + C).all()
+            cloc.append(cl)
+        L = max((len(s) for s in sels), default=0)
+        L = max(L, 1)
+        md = cols.shape[1] if cols.ndim == 2 else 1
+        trash_dof = n_loc * C
+        out_r = np.full((n_dev, L), trash_dof, np.int64)
+        out_c = np.zeros((n_dev, L, md), np.int64)
+        out_w = np.zeros((n_dev, L, md), w.dtype if w.size else np.float32)
+        out_i = np.zeros((n_dev, L), inh.dtype if inh.size else np.float32)
+        for d in range(n_dev):
+            n = len(sels[d])
+            out_r[d, :n] = rloc[d]
+            out_c[d, :n] = cloc[d]
+            out_w[d, :n] = w[sels[d]]
+            out_i[d, :n] = inh[sels[d]]
+        res = ConstraintArrays(
+            rows=jnp.asarray(out_r.astype(np.int32)),
+            cols=jnp.asarray(out_c.astype(np.int32)),
+            weights=jnp.asarray(out_w),
+            inhom=jnp.asarray(out_i),
+        )
+        res_sel = (sels, L)
+        if not owned_only:
+            self._last_sel = res_sel
+        return res
+
+    def _set_cstr_inhom(self, ci: ConstraintArrays):
+        """(Re)localize the inhomogeneous set.  Structure (rows/cols/
+        weights) is time-independent; only the values change per step."""
+        if self._ci_struct is None:
+            self._ci_struct = self._localize_cstr(ci, owned_only=False)
+            self._ci_sel = self._last_sel
+            self._cstr_i = self._ci_struct
+        else:
+            sels, L = self._ci_sel
+            inh = np.asarray(ci.inhom)
+            out = np.zeros((self.n_dev, L), inh.dtype)
+            for d in range(self.n_dev):
+                out[d, : len(sels[d])] = inh[sels[d]]
+            self._cstr_i = self._ci_struct._replace(inhom=jnp.asarray(out))
+
+    # ------------------------------------------------------------------
+    def _local_state(self):
+        """Localize op.state: per-cell tables chunked by the partition,
+        node-vector tables gathered into the local windows."""
+        op = self.op
+        st = op.state
+        n_dev, chunk = self.n_dev, self.chunk
+
+        def chunk_cells(x):
+            if x.shape[0] == 0:
+                return x
+            out = jnp.zeros((n_dev, chunk) + x.shape[1:], x.dtype)
+            for d, cd in enumerate(self._cells_of):
+                out = out.at[d, : len(cd)].set(x[cd])
+            return out
+
+        def window(x):
+            if x.shape[0] == 0:
+                return x
+            return x[self._loc_global]       # (n_dev, n_loc+1, C)
+
+        face_v = tuple(
+            self._face_chunk(k, x) for k, x in enumerate(st.face_velocity)
+        )
+        face_t = tuple(
+            self._face_chunk(k, x) for k, x in enumerate(st.face_target)
+        )
+        return st._replace(
+            u_star=chunk_cells(st.u_star),
+            grad_u_star=chunk_cells(st.grad_u_star),
+            grad_p_star=chunk_cells(st.grad_p_star),
+            dt_u_old=chunk_cells(st.dt_u_old),
+            u_old_grad=chunk_cells(st.u_old_grad),
+            p_old_grad=chunk_cells(st.p_old_grad),
+            delta1=chunk_cells(st.delta1),
+            delta2=chunk_cells(st.delta2),
+            face_velocity=face_v,
+            face_target=face_t,
+            u_lin=window(st.u_lin),
+            vec_old=window(st.vec_old),
+            u_old=window(st.u_old),
+            u_linT=jnp.zeros((0,), st.u_linT.dtype),
+            vec_oldT=jnp.zeros((0,), st.vec_oldT.dtype),
+        )
+
+    def _face_chunk(self, k, x):
+        if not isinstance(x, jnp.ndarray) and not isinstance(x, np.ndarray):
+            return x
+        if getattr(x, "shape", (0,))[0] == 0:
+            return x
+        fb = self.face_blocks[k]
+        return x[fb.src]                     # (n_dev, n_bf, ...)
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        op = self.op
+        C = op.n_comp
+        n_loc = self.n_loc
+        n_own_max = self.n_own_max
+        rounds = self._rounds
+        from jax.experimental.shard_map import shard_map
+
+        def exchange_fill(w):
+            """Owned -> ghost value transfer (update_ghost_values)."""
+            me = jax.lax.axis_index(AXIS)
+            for pairs, send, recv in rounds:
+                snd = send[me]
+                rcv = recv[me]
+                buf = w[snd]
+                buf = jax.lax.ppermute(buf, AXIS, perm=list(pairs))
+                w = w.at[rcv].set(
+                    jnp.where(rcv[:, None] < n_loc, buf, w[rcv])
+                )
+            return w
+
+        def compress(r):
+            """Ghost partial sums -> owners, scatter-add (compress(add))."""
+            me = jax.lax.axis_index(AXIS)
+            for pairs, send, recv in rounds:
+                snd = send[me]
+                rcv = recv[me]
+                buf = r[rcv]
+                back = [(b, a) for (a, b) in pairs]
+                buf = jax.lax.ppermute(buf, AXIS, perm=back)
+                mask = (rcv < n_loc)[:, None]
+                # the sender's mask rides with the payload: a device with
+                # no partner in this round received zeros
+                r = r.at[snd].add(buf)
+                r = r.at[rcv].set(
+                    jnp.where(mask, jnp.zeros_like(buf), r[rcv])
+                )
+            return r
+
+        def cdistribute(ca, u, homogeneous):
+            uf = u.reshape(-1)
+            vals = (uf[ca.cols] * ca.weights).sum(axis=1)
+            if not homogeneous:
+                vals = vals + ca.inhom
+            return uf.at[ca.rows].set(vals).reshape(u.shape)
+
+        def ccondense_t(ca, r):
+            rf = r.reshape(-1)
+            vals = rf[ca.rows]
+            rf = rf.at[ca.cols.reshape(-1)].add(
+                (ca.weights * vals[:, None]).reshape(-1)
+            )
+            return rf.at[ca.rows].set(0.0).reshape(r.shape)
+
+        specs_template = self._args_specs()
+
+        def sq(spec_tree, t):
+            """Strip the leading device axis from the P(AXIS) blocks
+            (shard_map delivers them with extent 1)."""
+            return jax.tree_util.tree_map(
+                lambda s, x: x[0] if s == P(AXIS) else x, spec_tree, t
+            )
+
+        def local_sweep(args: HaloArgs, u_own, residual_form):
+            batch = sq(specs_template.batch, args.batch)
+            state = sq(specs_template.state, args.state)
+            # [owned | ghost | trash] window, one trash slot (+1)
+            w = jnp.zeros((n_loc + 1, C), op.dtype)
+            w = w.at[:n_own_max].set(u_own[0])
+            w = exchange_fill(w)
+            ca = sq(
+                specs_template.cstr_i,
+                args.cstr_i if residual_form else args.cstr_h,
+            )
+            w = cdistribute(ca, w, homogeneous=not residual_form)
+
+            if op.fuse_tables:
+                cq = op._fused_cq(batch, state)
+            else:
+                cq = dict(
+                    weight=state.weight, u_star=state.u_star,
+                    grad_u_star=state.grad_u_star,
+                    grad_p_star=state.grad_p_star,
+                    dt_u_old=state.dt_u_old, u_old_grad=state.u_old_grad,
+                    p_old_grad=state.p_old_grad,
+                    delta1=state.delta1, delta2=state.delta2,
+                )
+            u_loc = w[batch.cell_nodes]
+            val, grad = fe_evaluate(batch.S, batch.D, batch.jinv, u_loc)
+            if residual_form or not op.increment_form:
+                val_res, grad_res = op.qpoint_fixed_point(
+                    val, grad, cq, residual=residual_form
+                )
+            else:
+                val_res, grad_res = op.qpoint_increment(val, grad, cq)
+            r_loc = fe_integrate(
+                batch.S, batch.D, batch.jinv, batch.jxw, val_res, grad_res
+            )
+            r = jnp.zeros((n_loc + 1, C), op.dtype)
+            r = r.at[batch.cell_nodes].add(r_loc)
+            for k, hfb in enumerate(args.faces):
+                fb = sq(specs_template.faces[k], hfb)
+                fr_loc = op.face_block_terms(
+                    fb, w[fb.nodes], state.face_velocity[k],
+                    state.face_target[k], residual_form,
+                )
+                r = r.at[fb.nodes].add(fr_loc)
+            r = ccondense_t(sq(specs_template.cstr_h, args.cstr_h), r)
+            r = r.at[self.trash].set(0.0)
+            r = compress(r)
+            return r[:n_own_max][None]
+
+        def copy_constrained_own(ca_own, dst, src):
+            # dst/src: (n_dev, n_own_max, C) OUTSIDE shard_map; rows index
+            # the owned region of the (n_loc+1, C) window, which aliases
+            # [0, n_own_max) — valid on the owned slice directly.
+            def per_dev(ca, dstd, srcd):
+                df = dstd.reshape(-1)
+                sf = srcd.reshape(-1)
+                keep = ca.rows < n_own_max * C
+                rows = jnp.where(keep, ca.rows, n_own_max * C)
+                pad = jnp.zeros((C,), dstd.dtype)
+                df = jnp.concatenate([df, pad])
+                sf = jnp.concatenate([sf, pad])
+                df = df.at[rows].set(sf[rows])
+                return df[: n_own_max * C].reshape(dstd.shape)
+
+            return jax.vmap(per_dev)(ca_own, dst, src)
+
+        mesh = self.mesh
+
+        def make(residual_form):
+            fn = shard_map(
+                lambda args, u: local_sweep(args, u, residual_form),
+                mesh=mesh,
+                in_specs=(specs_template, P(AXIS)),
+                out_specs=P(AXIS),
+                check_rep=False,
+            )
+            return fn
+
+        sweep_lin = make(False)
+        sweep_res = make(True)
+
+        def vmult_fn(args: HaloArgs, u):
+            r = sweep_lin(args, u)
+            return copy_constrained_own(args.cstr_own, r, u)
+
+        def residual_fn(args: HaloArgs, u):
+            r = sweep_res(args, u)
+            return -r
+
+        self.vmult_pure = vmult_fn
+        self.residual_pure = residual_fn
+        self._vmult = jax.jit(vmult_fn)
+        self._residual = jax.jit(residual_fn)
+
+        own_global, own_mask = self._own_global, self._own_mask
+        n_nodes = op.n_nodes
+
+        def to_dist_fn(u):
+            return u[own_global] * own_mask[..., None].astype(u.dtype)
+
+        def to_global_fn(ud):
+            def per_dev(carry, dev):
+                og, mask, u_own = dev
+                return carry.at[og].add(
+                    u_own * mask[:, None].astype(u_own.dtype)
+                ), None
+
+            out = jnp.zeros((n_nodes, C), ud.dtype)
+            out, _ = jax.lax.scan(
+                per_dev, out, (own_global, own_mask, ud)
+            )
+            return out
+
+        self.to_dist = jax.jit(to_dist_fn)
+        self.to_global = jax.jit(to_global_fn)
+
+    def _args_specs(self) -> HaloArgs:
+        """PartitionSpec pytree matching ``vmult_args`` (P(AXIS) on every
+        device-major leaf, P() on replicated tables)."""
+        def spec(x):
+            return P(AXIS) if (
+                hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] == self.n_dev
+            ) else P()
+
+        batch_s = CellBatch(
+            S=P(), D=P(), jinv=P(AXIS), jxw=P(AXIS),
+            cell_nodes=P(AXIS), h_min_vertex=P(AXIS), h_q=P(AXIS),
+            node_gather=(),
+        )
+        faces_s = tuple(
+            HaloFaceBlock(
+                S=P(), D=P(), nodes=P(AXIS), jxw=P(AXIS),
+                normals=P(AXIS), jinv=P(AXIS), beta_eff=P(AXIS),
+                is_cut=P(AXIS), is_nitsche=P(AXIS), src=P(AXIS),
+            )
+            for _ in self.face_blocks
+        )
+        state_s = jax.tree_util.tree_map(spec, self._local_state())
+        ca_s = ConstraintArrays(
+            rows=P(AXIS), cols=P(AXIS), weights=P(AXIS), inhom=P(AXIS)
+        )
+        return HaloArgs(batch_s, faces_s, state_s, ca_s, ca_s, ca_s)
+
+    def _args_template(self):
+        return HaloArgs(
+            batch=self.batch,
+            faces=self.face_blocks,
+            state=self._local_state(),
+            cstr_h=self._cstr_h,
+            cstr_own=self._cstr_own,
+            cstr_i=self._cstr_i,
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def vmult_args(self) -> HaloArgs:
+        return self._args_template()
+
+    def vmult(self, u):
+        return self.to_global(self._vmult(self.vmult_args, self.to_dist(u)))
+
+    def evaluate_residual(self, u):
+        return self.to_global(
+            self._residual(self.vmult_args, self.to_dist(u))
+        )
+
+    def evaluate_rhs(self):
+        zero = jnp.zeros((self.n_nodes, self.n_comp), self.dtype)
+        return self.evaluate_residual(zero)
+
+    # -- OperatorBase surface delegated to the wrapped operator ----------
+    def set_linearization_point(self, u):
+        self.op.set_linearization_point(u)
+
+    def set_previous_solution(self, history):
+        self.op.set_previous_solution(history)
+
+    def invalidate_system(self):
+        self.op.invalidate_system()
+
+    def update_weight(self):
+        self.op.update_weight()
+
+    def get_max_u(self, u):
+        return self.op.get_max_u(u)
+
+    @property
+    def constraints_homogeneous(self):
+        return self.op.constraints_homogeneous
+
+    @property
+    def constraints_inhomogeneous(self):
+        return self.op.constraints_inhomogeneous
+
+    @constraints_inhomogeneous.setter
+    def constraints_inhomogeneous(self, value):
+        self.op.constraints_inhomogeneous = value
+        self._set_cstr_inhom(value)
+
+    @property
+    def space(self):
+        return self.op.space
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+    @property
+    def n_comp(self):
+        return self.op.n_comp
+
+    @property
+    def n_nodes(self):
+        return self.op.n_nodes

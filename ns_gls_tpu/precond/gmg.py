@@ -125,17 +125,31 @@ class PreconditionerGMG:
             if not self.coarse_grid_iterate or coarse_kind == "identity":
                 return coarse_apply(args, r)
             # iterative coarse solve: GMRES on the coarse level operator
-            # preconditioned by coarse_apply (``multigrid.cc:490-532``)
-            from ns_gls_tpu.solvers.linear import gmres
-
+            # preconditioned by coarse_apply (``multigrid.cc:490-532``).
+            # On TPU the nested while-loop GMRES inside the V-cycle inside
+            # the outer GMRES crashes the worker (PERF.md), so use the
+            # statically-bounded fori-loop variant there; iterations past
+            # the 1e-4 reltol are masked no-ops.
             tol = self.coarse_grid_gmres_reltol * jnp.linalg.norm(
                 r.reshape(-1)
             )
-            res = gmres(
-                level_fns[0], args.level_args[0], r, jnp.zeros_like(r),
-                M=lambda a, x: coarse_apply(args, x), m_args=(),
-                tol=tol, restart=30, max_restarts=10,
-            )
+            if jax.default_backend() == "tpu":
+                from ns_gls_tpu.solvers.linear import gmres_fixed
+
+                res = gmres_fixed(
+                    level_fns[0], args.level_args[0], r, jnp.zeros_like(r),
+                    M=lambda a, x: coarse_apply(args, x), m_args=(),
+                    tol=tol, restart=30,
+                    n_cycles=2,
+                )
+            else:
+                from ns_gls_tpu.solvers.linear import gmres
+
+                res = gmres(
+                    level_fns[0], args.level_args[0], r, jnp.zeros_like(r),
+                    M=lambda a, x: coarse_apply(args, x), m_args=(),
+                    tol=tol, restart=30, max_restarts=10,
+                )
             return res.x
 
         def smooth(args, level, x, b):

@@ -165,6 +165,122 @@ def gmres(
     return SolveResult(x.reshape(shape), it, res_final, res_final <= tol)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("A", "M", "restart", "n_cycles")
+)
+def gmres_fixed(
+    A: Callable,
+    a_args,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    M: Callable = _identity,
+    m_args=(),
+    tol: float | jnp.ndarray = 1e-12,
+    restart: int = 30,
+    n_cycles: int = 1,
+) -> SolveResult:
+    """Statically-bounded GMRES: same math as :func:`gmres`, but every
+    loop is a ``fori_loop`` — no data-dependent ``while_loop`` anywhere.
+    Iterations past convergence are masked no-ops (a converged state is a
+    fixed point of the cycle), so the result matches `gmres` up to the
+    iteration cap ``restart * n_cycles``.
+
+    Exists for nesting inside other jitted loops: a while-loop GMRES
+    inside the V-cycle inside the outer while-loop GMRES deterministically
+    crashes the TPU worker (PERF.md "Full-solver runs"); this variant is
+    the TPU-safe coarse solver for ``gmg coarse grid iterate: true``
+    (``multigrid.cc:490-532``)."""
+    shape = b.shape
+    dtype = b.dtype
+    n = b.size
+    m = restart
+
+    def mv(v):
+        return A(a_args, v.reshape(shape)).reshape(-1)
+
+    def pc(v):
+        return M(m_args, v.reshape(shape)).reshape(-1)
+
+    bf = b.reshape(-1)
+    tol = jnp.asarray(tol, dtype)
+
+    def cycle(_, carry):
+        x, total_it = carry
+        r = bf - mv(x)
+        beta = jnp.linalg.norm(r)
+
+        V = jnp.zeros((m + 1, n), dtype)
+        H = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        V = V.at[0].set(jnp.where(beta > 0, r / beta, 0.0))
+
+        def arnoldi_step(j, carry):
+            V, H, cs, sn, g, jf, res = carry
+            active = res > tol
+            w = mv(pc(V[j]))
+
+            def mgs(k, wh):
+                w, hcol = wh
+                hk = jnp.where(k <= j, jnp.dot(V[k], w), 0.0)
+                return (w - hk * V[k], hcol.at[k].set(hk))
+
+            w, hcol = jax.lax.fori_loop(
+                0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype))
+            )
+            hj1 = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(
+                jnp.where(active & (hj1 > 0), w / jnp.maximum(hj1, 1e-300),
+                          V[j + 1])
+            )
+            hcol = hcol.at[j + 1].set(hj1)
+
+            def rot(k, hc):
+                t0 = cs[k] * hc[k] + sn[k] * hc[k + 1]
+                t1 = -sn[k] * hc[k] + cs[k] * hc[k + 1]
+                apply = k < j
+                hc = hc.at[k].set(jnp.where(apply, t0, hc[k]))
+                return hc.at[k + 1].set(jnp.where(apply, t1, hc[k + 1]))
+
+            hcol = jax.lax.fori_loop(0, m, rot, hcol)
+
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            c_new = jnp.where(denom > 0, hcol[j] / denom, 1.0)
+            s_new = jnp.where(denom > 0, hcol[j + 1] / denom, 0.0)
+            cs = cs.at[j].set(jnp.where(active, c_new, cs[j]))
+            sn = sn.at[j].set(jnp.where(active, s_new, sn[j]))
+            hcol = hcol.at[j].set(c_new * hcol[j] + s_new * hcol[j + 1])
+            hcol = hcol.at[j + 1].set(0.0)
+            g_j1 = -s_new * g[j]
+            g_new = g.at[j + 1].set(g_j1).at[j].set(c_new * g[j])
+            g = jnp.where(active, g_new, g)
+
+            H = H.at[:, j].set(jnp.where(active, hcol, H[:, j]))
+            jf = jf + active.astype(jf.dtype)
+            res = jnp.where(active, jnp.abs(g_j1), res)
+            return (V, H, cs, sn, g, jf, res)
+
+        V, H, cs, sn, g, j_final, _ = jax.lax.fori_loop(
+            0, m, arnoldi_step,
+            (V, H, cs, sn, g, jnp.array(0), beta),
+        )
+
+        mask = jnp.arange(m) < j_final
+        Hm = H[:m, :] * mask[None, :] * mask[:, None] + jnp.diag(
+            jnp.where(mask, 0.0, 1.0)
+        )
+        y = jax.scipy.linalg.solve_triangular(Hm, jnp.where(mask, g[:m], 0.0))
+        dx = pc(jnp.einsum("i,in->n", jnp.where(mask, y, 0.0), V[:m]))
+        return (x + dx, total_it + j_final)
+
+    x, it = jax.lax.fori_loop(
+        0, n_cycles, cycle, (x0.reshape(-1), jnp.array(0))
+    )
+    res_final = jnp.linalg.norm(bf - mv(x))
+    return SolveResult(x.reshape(shape), it, res_final, res_final <= tol)
+
+
 @functools.partial(jax.jit, static_argnames=("A", "M", "max_iter"))
 def richardson(
     A: Callable,
@@ -225,21 +341,42 @@ class LinearSolverGMRES(LinearSolverBase):
         tol = jnp.maximum(
             self.rel_tol * jnp.linalg.norm(b.reshape(-1)), self.abs_tol
         )
-        res = gmres(
-            self.op.vmult_pure,
-            self.op.vmult_args,
-            b,
-            jnp.zeros_like(b),
-            M=self.preconditioner.vmult_pure,
-            m_args=self.preconditioner.vmult_args,
-            tol=tol,
-            restart=self.restart,
-            max_restarts=max(1, self.n_max_iterations // self.restart),
-        )
+        op = self.op
+        if hasattr(op, "to_dist"):
+            # halo-sharded operator: run the Krylov loop on distributed
+            # (n_dev, n_own_max, C) vectors — every operator apply is
+            # O(halo); the (replicated-layout) preconditioner converts at
+            # its boundary (``update_ghost_values`` only where needed)
+            bd = op.to_dist(b)
+            pre = self.preconditioner
+
+            def M(margs, x):
+                return op.to_dist(pre.vmult_pure(margs, op.to_global(x)))
+
+            res = gmres(
+                op.vmult_pure, op.vmult_args, bd, jnp.zeros_like(bd),
+                M=M, m_args=pre.vmult_args, tol=tol,
+                restart=self.restart,
+                max_restarts=max(1, self.n_max_iterations // self.restart),
+            )
+            x = op.to_global(res.x)
+        else:
+            res = gmres(
+                op.vmult_pure,
+                op.vmult_args,
+                b,
+                jnp.zeros_like(b),
+                M=self.preconditioner.vmult_pure,
+                m_args=self.preconditioner.vmult_args,
+                tol=tol,
+                restart=self.restart,
+                max_restarts=max(1, self.n_max_iterations // self.restart),
+            )
+            x = res.x
         self._last_it = int(res.iterations)
         if self.logger:
             self.logger(f"    [L] solved in {self._last_it} iterations.")
-        return res.x
+        return x
 
 
 class LinearSolverRichardson(LinearSolverBase):

@@ -25,6 +25,25 @@ class TimerCollection:
         self._data = defaultdict(lambda: [0, 0.0, float("inf"), 0.0])
         self._path = threading.local()
         self.sync = True
+        self._tok_fn = None
+        self._tok = None
+
+    def _fence(self):
+        """Honest device completion barrier: enqueue a trivial program on
+        the (in-order) device compute stream and FETCH its 4-byte result.
+        Under the tunneled TPU runtime ``block_until_ready`` returns
+        before queued work finishes; only a data fetch waits (PERF.md) —
+        this mirrors the ``bench.py`` scalar-fetch pattern so per-scope
+        attribution of async device work is trustworthy
+        (reference ``timer.h:194-253`` semantics)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._tok_fn is None:
+            self._tok_fn = jax.jit(lambda x: x + 1.0)
+            self._tok = jnp.float32(0.0)
+        self._tok = self._tok_fn(self._tok)
+        float(self._tok)
 
     def _stack(self):
         if not hasattr(self._path, "stack"):
@@ -42,11 +61,7 @@ class TimerCollection:
         finally:
             if self.sync:
                 try:
-                    import jax
-
-                    jax.block_until_ready(
-                        jax.device_put(0.0)
-                    )  # cheap barrier; real arrays sync via caller
+                    self._fence()
                 except Exception:
                     pass
             dt = time.perf_counter() - t0

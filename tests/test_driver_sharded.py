@@ -46,3 +46,45 @@ def test_sharded_driver_matches_single_device():
     a = np.asarray(d1.solution.current)
     b = np.asarray(d8.solution.current)
     assert np.allclose(a, b, atol=1e-8), np.abs(a - b).max()
+
+
+@needs_8
+def test_halo_driver_turek_cylinder():
+    """'n devices' routes to the general-mesh halo-exchange path
+    (parallel/halo.py) on the flagship unstructured geometry; the sharded
+    time loop must match the single-device solution."""
+    from ns_gls_tpu.driver import Driver
+
+    cfg = CFG | {
+        "simulation name": "cylinder",
+        "nu": 0.001,
+        "simulation u max": 0.3,
+        "lin relative tolerance": 1e-6,
+        "nonlinear tolerance": 1e-4,
+    }
+    d1 = Driver(Parameters.from_dict(cfg))
+    d1.run(max_steps=2)
+
+    d8 = Driver(Parameters.from_dict(cfg | {"n devices": 8}))
+    d8.run(max_steps=2)
+    from ns_gls_tpu.parallel.halo import HaloShardedOperator
+
+    assert isinstance(d8.op, HaloShardedOperator)
+
+    a = np.asarray(d1.solution.current)
+    b = np.asarray(d8.solution.current)
+    assert np.allclose(a, b, atol=2e-5 * max(1.0, np.abs(a).max())), \
+        np.abs(a - b).max()
+
+
+@needs_8
+def test_replicated_strategy_still_available():
+    from ns_gls_tpu.driver import Driver
+    from ns_gls_tpu.parallel.sharding import ShardedOperator
+
+    d = Driver(Parameters.from_dict(
+        CFG | {"n devices": 8, "parallel strategy": "replicated"}
+    ))
+    d.run(max_steps=1)
+    assert isinstance(d.op, ShardedOperator)
+    assert np.isfinite(np.asarray(d.solution.current)).all()

@@ -82,3 +82,39 @@ def test_richardson():
     )
     assert res.converged
     assert np.linalg.norm(A @ res.x - b) < 1e-7
+
+
+def test_gmres_fixed_matches_gmres():
+    """The statically-bounded (fori-only) variant must reproduce the
+    while-loop GMRES: same solution, and post-convergence iterations are
+    masked no-ops (iteration counts agree)."""
+    from ns_gls_tpu.solvers.linear import gmres_fixed
+
+    rng = np.random.default_rng(5)
+    n = 48
+    A = jnp.asarray(np.eye(n) * 4.0 + 0.3 * rng.standard_normal((n, n)))
+    b = jnp.asarray(rng.standard_normal(n))
+    mv = lambda _, v: A @ v
+    tol = 1e-8
+    ref = gmres(mv, (), b, jnp.zeros_like(b), tol=tol, restart=20,
+                max_restarts=10)
+    fx = gmres_fixed(mv, (), b, jnp.zeros_like(b), tol=tol, restart=20,
+                     n_cycles=10)
+    assert fx.converged
+    assert int(fx.iterations) == int(ref.iterations)
+    assert np.allclose(fx.x, ref.x, atol=1e-9)
+    # converged state is a fixed point: extra cycles change nothing
+    fx2 = gmres_fixed(mv, (), b, fx.x, tol=tol, restart=20, n_cycles=3)
+    assert int(fx2.iterations) == 0
+    assert np.allclose(fx2.x, fx.x, atol=0)
+    # preconditioned + 2D-shaped vectors
+    Minv = jnp.asarray(np.diag(1.0 / np.diag(np.asarray(A))))
+    b2 = b.reshape(12, 4)
+    fx3 = gmres_fixed(
+        lambda _, v: (A @ v.reshape(-1)).reshape(12, 4), (), b2,
+        jnp.zeros_like(b2),
+        M=lambda _, v: (Minv @ v.reshape(-1)).reshape(12, 4),
+        tol=tol, restart=20, n_cycles=5,
+    )
+    assert fx3.converged
+    assert np.allclose(fx3.x.reshape(-1), ref.x, atol=1e-8)
