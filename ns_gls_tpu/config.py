@@ -125,6 +125,10 @@ class Parameters:
     # "halo": node-sharded O(halo) ppermute exchange (parallel/halo.py);
     # "replicated": replicated DoFs + psum (parallel/sharding.py)
     parallel_strategy: str = "halo"
+    # AMG smoother: "jacobi" (TPU-native) or "ilu" (reference ML-AMG
+    # smooths with Ifpack ILU, ``preconditioner.cc:49-77``; here applied
+    # via parallel iterative triangular solves)
+    amg_smoother: str = "jacobi"
     checkpoint_prefix: str = ""     # orbax-style checkpointing (new, §5.4)
     checkpoint_granularity: float = 0.0
 
@@ -168,6 +172,7 @@ class Parameters:
         "mg precision": "mg_precision",
         "n devices": "n_devices",
         "parallel strategy": "parallel_strategy",
+        "amg smoother": "amg_smoother",
         "checkpoint prefix": "checkpoint_prefix",
         "checkpoint granularity": "checkpoint_granularity",
     }

@@ -276,6 +276,7 @@ class Driver:
                 self.preconditioner = PreconditionerAMG(
                     getattr(self, "op_unsharded", self.op),
                     matrix_free_fine=True,
+                    smoother=p.amg_smoother,
                 )
             elif p.preconditioner == "Jacobi":
                 self.preconditioner = PreconditionerJacobi(

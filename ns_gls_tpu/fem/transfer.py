@@ -125,20 +125,36 @@ def build_transfer(coarse: FESpace, fine: FESpace, dtype=jnp.float32
     )
 
 
+def _row_gather_sum(cols, wts, u):
+    """sum_k w[:, k] * u[cols[:, k], :], one ROW gather per local basis
+    function — every intermediate stays 2-D with the compact (rows, C)
+    layout.  The one-shot (rows, n_loc, C) gather/product gets a
+    T(8,128)-tiled layout on TPU (minor 4 -> 128, second-minor 27 -> 32),
+    a 27 GB intermediate at Turek-3D ref 3 — the layout trap that OOMed
+    the BASELINE config."""
+    n_loc = cols.shape[1]
+    acc = u[cols[:, 0]] * wts[:, 0:1].astype(u.dtype)
+    for k in range(1, n_loc):
+        acc = acc + u[cols[:, k]] * wts[:, k: k + 1].astype(u.dtype)
+    return acc
+
+
 def prolongate(t: TwoLevelTransfer, u_c: jnp.ndarray) -> jnp.ndarray:
     """(n_coarse, C) -> (n_fine, C)."""
-    return jnp.einsum("fk,fkc->fc", t.p_wts, u_c[t.p_cols])
+    return _row_gather_sum(t.p_cols, t.p_wts, u_c)
 
 
 def restrict(t: TwoLevelTransfer, r_f: jnp.ndarray) -> jnp.ndarray:
-    """Pᵀ: (n_fine, C) -> (n_coarse, C)."""
+    """Pᵀ: (n_fine, C) -> (n_coarse, C) — one row scatter-add per local
+    basis function (2-D compact layouts, see :func:`_row_gather_sum`)."""
     out = jnp.zeros((t.n_coarse, r_f.shape[1]), r_f.dtype)
-    contrib = t.p_wts[:, :, None] * r_f[:, None, :]
-    return out.at[t.p_cols.reshape(-1)].add(
-        contrib.reshape(-1, r_f.shape[1])
-    )
+    for k in range(t.p_cols.shape[1]):
+        out = out.at[t.p_cols[:, k]].add(
+            r_f * t.p_wts[:, k: k + 1].astype(r_f.dtype)
+        )
+    return out
 
 
 def interpolate_to_coarse(t: TwoLevelTransfer, u_f: jnp.ndarray) -> jnp.ndarray:
     """Solution interpolation (pointwise), fine -> coarse."""
-    return jnp.einsum("ck,ckd->cd", t.i_wts, u_f[t.i_cols]).astype(u_f.dtype)
+    return _row_gather_sum(t.i_cols, t.i_wts, u_f).astype(u_f.dtype)

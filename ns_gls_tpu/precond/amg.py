@@ -27,6 +27,11 @@ class AMGLevel(NamedTuple):
     inv_diag: jnp.ndarray   # (n,)
     omega: jnp.ndarray      # ()
     agg: jnp.ndarray        # (n,) int32 aggregate of each dof (next level)
+    # ILU smoother factors ("amg smoother": "ilu"; reference ML-AMG
+    # smooths with Ifpack ILU, ``preconditioner.cc:49-77``): strict-lower
+    # L / strict-upper U in padded ELL + 1/diag(U) + the SuperLU row/col
+    # permutations. Empty tuple in Jacobi mode (pytree-stable).
+    ilu: tuple = ()         # (l_cols, l_vals, u_cols, u_vals, udi, ipr, pc)
 
 
 class AMGArgs(NamedTuple):
@@ -37,6 +42,36 @@ class AMGArgs(NamedTuple):
     @property
     def n_coarse(self) -> int:  # static (from array shape, not a leaf)
         return self.coarse_lu[0].shape[0]
+
+
+def _ilu_factors(A, dtype):
+    """SuperLU incomplete factors of a level matrix in device form:
+    strict-lower/strict-upper padded ELL, inverted U diagonal, and the
+    inverse row / forward column permutations so the device apply is
+    ``x = (U^-1 L^-1 r[ipr])[pc]`` (composition verified numerically)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    ilu = spla.spilu(A.tocsc(), drop_tol=1e-5, fill_factor=3.0)
+    L = ilu.L.tocsr()
+    U = ilu.U.tocsr()
+    n = A.shape[0]
+    Ls = (L - sp.eye(n)).tocsr()
+    Ls.eliminate_zeros()
+    ud = U.diagonal()
+    Us = (U - sp.diags(ud)).tocsr()
+    Us.eliminate_zeros()
+    l_cols, l_vals = _to_ell(Ls, dtype)
+    u_cols, u_vals = _to_ell(Us, dtype)
+    ipr = np.empty(n, np.int64)
+    ipr[ilu.perm_r] = np.arange(n)
+    udi = np.where(np.abs(ud) > 1e-300, 1.0 / ud, 1.0)
+    return (
+        l_cols, l_vals, u_cols, u_vals,
+        jnp.asarray(udi, dtype),
+        jnp.asarray(ipr.astype(np.int32)),
+        jnp.asarray(ilu.perm_c.astype(np.int32)),
+    )
 
 
 def _strength_aggregates(A, theta=0.08):
@@ -101,13 +136,22 @@ class PreconditionerAMG:
 
     def __init__(self, op, n_comp: int = None, max_coarse: int = 500,
                  max_levels: int = 10, n_smooth: int = 2, theta: float = 0.08,
-                 matrix_free_fine: bool = False):
+                 matrix_free_fine: bool = False, smoother: str = "jacobi",
+                 ilu_sweeps: int = 3):
         self.op = op
         self.n_comp = n_comp or op.n_comp
         self.max_coarse = max_coarse
         self.max_levels = max_levels
         self.n_smooth = n_smooth
         self.theta = theta
+        # "jacobi" (TPU-native damped point smoother) or "ilu": per-level
+        # ILU factors applied via `ilu_sweeps` fixed Jacobi-style sweeps
+        # per triangular solve (Chow-Patel-style iterative triangular
+        # solves — the TPU-parallel stand-in for the reference's
+        # sequential Ifpack ILU smoother, ``preconditioner.cc:60``)
+        assert smoother in ("jacobi", "ilu")
+        self.smoother = smoother
+        self.ilu_sweeps = ilu_sweeps
         # matrix-free level 0: smoother/residual on the finest AMG level
         # apply the OPERATOR instead of the assembled padded-ELL matrix.
         # The ELL spmv on an unaggregated Q2-3D level gathers ~460 entries
@@ -215,6 +259,8 @@ class PreconditionerAMG:
                     inv_diag=jnp.asarray(inv_diag, dtype),
                     omega=jnp.asarray(omega, dtype),
                     agg=jnp.asarray(agg_dofs.astype(np.int32)),
+                    ilu=(_ilu_factors(A, dtype)
+                         if self.smoother == "ilu" else ()),
                 )
             )
             A = (P.T @ A @ P).tocsr()
@@ -237,9 +283,30 @@ class PreconditionerAMG:
         mf_fine = self.matrix_free_fine
         op = self.op
         C = self.n_comp
+        use_ilu = self.smoother == "ilu"
+        K = self.ilu_sweeps
 
         def spmv(lvl: AMGLevel, x):
             return jnp.einsum("rk,rk->r", lvl.ell_vals, x[lvl.ell_cols])
+
+        def ilu_apply(f, r):
+            """x ~= A^-1 r from the incomplete factors; the two triangular
+            solves run as K fixed Jacobi-style sweeps each (iterative
+            triangular solves — parallel on TPU, approximate like the
+            reference's Ifpack ILU smoother is incomplete)."""
+            l_cols, l_vals, u_cols, u_vals, udi, ipr, pc = f
+
+            def tri_spmv(cols, vals, x):
+                return jnp.einsum("rk,rk->r", vals, x[cols])
+
+            rp = r[ipr]
+            y = rp
+            for _ in range(K):
+                y = rp - tri_spmv(l_cols, l_vals, y)
+            z = y * udi
+            for _ in range(K):
+                z = (y - tri_spmv(u_cols, u_vals, z)) * udi
+            return z[pc]
 
         def vmult_fn(args: AMGArgs, src):
             shape = src.shape
@@ -255,7 +322,11 @@ class PreconditionerAMG:
             def smooth(k, x, b):
                 lvl = args.levels[k]
                 for _ in range(n_smooth):
-                    x = x + lvl.omega * lvl.inv_diag * (b - apply_lvl(k, x))
+                    r = b - apply_lvl(k, x)
+                    if use_ilu and lvl.ilu:
+                        x = x + ilu_apply(lvl.ilu, r)
+                    else:
+                        x = x + lvl.omega * lvl.inv_diag * r
                 return x
 
             def down(k, b):
