@@ -57,6 +57,38 @@ def build(dim=3, refinements=5, degree=2, dtype=jnp.float32,
     return op, space, u
 
 
+def build_turek(refinements=2, degree=2, dtype=jnp.float32):
+    """Flagship-geometry lane: the real (curved, extruded) Turek 3D mesh
+    (``grid_cylinder.h:153-242``) instead of the hypercube — exercises the
+    prism fused sweep (ops/prism.py), i.e. the operator the BASELINE
+    time/step metric actually runs."""
+    from ns_gls_tpu.fem.constraints import AffineConstraints
+    from ns_gls_tpu.fem.space import FESpace
+    from ns_gls_tpu.mesh.cylinder import cylinder_mesh_3d
+    from ns_gls_tpu.ops.navier_stokes import NavierStokesOperator
+    from ns_gls_tpu.ops.time_integration import BDFIntegrator, SolutionHistory
+
+    mesh = cylinder_mesh_3d().refine_global(refinements)
+    space = FESpace(mesh, degree)
+    C = 4
+    ca = AffineConstraints(space.n_nodes, C).close(dtype)
+    ti = BDFIntegrator(2)
+    ti.update_dt(0.1)
+    ti.update_dt(0.1)
+    op = NavierStokesOperator(
+        space, ca, ca, nu=0.001, c_1=2.0, c_2=1.0,
+        time_integrator=ti, consider_time_derivative=True,
+        increment_form=True, cell_wise_stabilization=False, dtype=dtype,
+    )
+    op.constraints_inhomogeneous = ca
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((space.n_nodes, C)), dtype)
+    hist = SolutionHistory([u, u * 0.9, u * 0.8])
+    op.set_previous_solution(hist)
+    op.set_linearization_point(u)
+    return op, space, u
+
+
 def time_apply(apply_fn, args, u, n_rep=None) -> float:
     """Honest steady-state seconds/apply: chained applies inside one jit
     (each iteration consumes the previous, normalized, output).
@@ -136,10 +168,28 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     show_all = "--all" in sys.argv
+    turek = "--turek" in sys.argv
+    dtype = jnp.float32
+
+    if turek:
+        refinements = int(args[0]) if len(args) > 0 else 2
+        degree = int(args[1]) if len(args) > 1 else 2
+        op, space, u = build_turek(refinements, degree, dtype)
+        n_dofs = space.n_nodes * 4
+        dt_mf = time_apply(op.vmult_pure, op.vmult_args, u)
+        mdofs = n_dofs / dt_mf / 1e6
+        frac = roofline_seconds(op, space, dtype) / dt_mf
+        print(json.dumps({
+            "metric": "ns_vmult_turek3d_mdof_per_s",
+            "value": round(mdofs, 2),
+            "unit": f"MDoF/s/chip (Turek 3D ref={refinements} Q{degree}, "
+                    f"{n_dofs} dofs, f32, prism sweep)",
+            "vs_baseline": round(frac, 4),
+        }))
+        return
     dim = int(args[0]) if len(args) > 0 else 3
     refinements = int(args[1]) if len(args) > 1 else 5
     degree = int(args[2]) if len(args) > 2 else 2
-    dtype = jnp.float32
 
     op, space, u = build(dim, refinements, degree, dtype)
     n_dofs = space.n_nodes * (dim + 1)

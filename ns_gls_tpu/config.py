@@ -113,6 +113,9 @@ class Parameters:
     nonlinear_solver: str = "linearized"
     newton_inexact: bool = False
     nonlinear_tolerance: float = 1e-7  # ref hardcodes 1e-7 (solver_nl.cc:30)
+    # extension: per-step relative Newton tolerance (f32-honest criterion;
+    # the reference's absolute 1e-7 assumes the f64 outer solve)
+    nonlinear_tolerance_relative: bool = False
 
     # output
     paraview_prefix: str = "results"
@@ -166,6 +169,7 @@ class Parameters:
         "nonlinear solver": "nonlinear_solver",
         "newton inexact": "newton_inexact",
         "nonlinear tolerance": "nonlinear_tolerance",
+        "nonlinear tolerance relative": "nonlinear_tolerance_relative",
         "paraview prefix": "paraview_prefix",
         "output granularity": "output_granularity",
         "precision": "precision",

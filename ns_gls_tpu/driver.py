@@ -307,7 +307,8 @@ class Driver:
 
         # ---- nonlinear solver ----------------------------------------------
         nl = make_nonlinear_solver(p.nonlinear_solver, p.newton_inexact,
-                                   p.nonlinear_tolerance)
+                                   p.nonlinear_tolerance,
+                                   p.nonlinear_tolerance_relative)
         nl.logger = self.log
         nl.setup_jacobian = self._setup_jacobian
         nl.setup_preconditioner = self._setup_preconditioner

@@ -660,21 +660,33 @@ class NavierStokesOperator:
 
         def residual_fn(args, ca_inhom, u):
             # (``evaluate_residual``, ``operator_ns.cc:648-682``)
-            batch, faces, state = args
-            tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
-            if self._ssweep is not None or self._psweep is not None:
-                r = self._fast_apply(batch, state, tmp, "residual")
-            else:
-                r = self._cell_sweep(batch, state, tmp, residual_form=True)
-            if self.needs_face_integrals:
-                r = self._boundary_sweep(batch, faces, state, tmp, r,
+            # Traced under HIGHEST matmul precision: the residual is the
+            # Newton rhs AND convergence test, evaluated once per Newton
+            # iteration (vs ~10+ vmults inside GMRES).  TPU's default
+            # bf16x3 einsums carry ~1e-7-relative noise that on
+            # large-magnitude states (impulsive-start transients,
+            # ||u||~1e4) becomes an additive ~3e-3 residual floor that
+            # stalls Newton (measured round 3); HIGHEST restores
+            # f64-matching evaluations (4e-7 agreement) at negligible
+            # per-iteration cost.  Jacobian vmults stay at "high".
+            with jax.default_matmul_precision("highest"):
+                batch, faces, state = args
+                tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
+                if self._ssweep is not None or self._psweep is not None:
+                    r = self._fast_apply(batch, state, tmp, "residual")
+                else:
+                    r = self._cell_sweep(batch, state, tmp,
                                          residual_form=True)
-            # Cᵀ on the write side as well (deal.II distribute_local_to_
-            # global resolves constraints when scattering the residual):
-            # master rows must receive the hanging-slave contributions or
-            # the residual is inconsistent with the vmult Jacobian.
-            r = cstr.condense_transpose(ch, r)
-            return -r
+                if self.needs_face_integrals:
+                    r = self._boundary_sweep(batch, faces, state, tmp, r,
+                                             residual_form=True)
+                # Cᵀ on the write side as well (deal.II distribute_local_
+                # to_global resolves constraints when scattering the
+                # residual): master rows must receive the hanging-slave
+                # contributions or the residual is inconsistent with the
+                # vmult Jacobian.
+                r = cstr.condense_transpose(ch, r)
+                return -r
 
         self._vmult = jax.jit(vmult_fn)
         self._residual = jax.jit(residual_fn)
@@ -682,7 +694,16 @@ class NavierStokesOperator:
         # so downstream jits never close over mutable state
         self.vmult_pure = vmult_fn
         self._set_lin = jax.jit(self._set_linearization_impl)
-        self._set_prev = jax.jit(self._set_previous_impl)
+
+        def set_prev_hp(*a, **kw):
+            # previous-solution tables (Σᵢ wᵢ u^{n-i} at q-points) are
+            # computed once per step and bias every residual of the step;
+            # the BDF weights are O(1/dt) so bf16x3 interpolation noise
+            # is amplified — trace at HIGHEST (cost: once per step)
+            with jax.default_matmul_precision("highest"):
+                return self._set_previous_impl(*a, **kw)
+
+        self._set_prev = jax.jit(set_prev_hp)
         self._max_u = jax.jit(self._get_max_u_impl)
 
     # ------------------------------------------------------------------

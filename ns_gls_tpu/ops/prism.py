@@ -517,9 +517,17 @@ class PrismSweep:
         XrG, Nzn, PlY = self.XrG, self.Nzn, self.PlY
         RG = self.G * NQ * self.mx
         n_groups, my = self.n_groups, self.my
+        # residual evaluations run once per Newton iteration (vs ~10+
+        # Jacobian applies inside GMRES) but their value IS the Newton
+        # rhs and convergence test: bf16x3 noise there becomes an
+        # additive residual floor (~3e-3 on impulsive-start states,
+        # measured round 3), so the residual flavor pays for exact-f32
+        # MXU passes while vmult stays on the fast "3x" path.
+        prec = "full" if (flavor == "residual"
+                          and self.prec_mode == "3x") else self.prec_mode
         kernel = _make_prism_kernel(
             dict(P=P, NQ=NQ, mx=self.mx, nz=self.nz, G=self.G, C=C),
-            flavor, self.consider_dt, self.cell_wise, self.prec_mode,
+            flavor, self.consider_dt, self.cell_wise, prec,
         )
 
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -955,9 +955,15 @@ class StructuredSweep:
         # block-diagonal FLOPs; measured SLOWER on v5e (1943 vs 2657
         # MDoF/s at ref5 Q2) — keep the per-(comp, plane) kernel
         make = _make_kernel_3d if d == 3 else _make_kernel_2d
+        # residual flavor: exact-f32 MXU passes — the residual is the
+        # Newton rhs/convergence test and runs once per iteration, so
+        # bf16x3 noise there (an additive ~1e-3-scale floor on
+        # large-magnitude states) costs convergence, not speed
+        prec = "full" if (flavor == "residual"
+                          and self.prec_mode == "3x") else self.prec_mode
         kernel = make(
             dict(d=d, P=P, NQ=NQ, nx=nx, ny=ny, C=C),
-            flavor, self.consider_dt, self.cell_wise, self.prec_mode,
+            flavor, self.consider_dt, self.cell_wise, prec,
         )
 
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)

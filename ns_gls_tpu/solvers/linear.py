@@ -38,6 +38,29 @@ def _identity(args, x):
     return x
 
 
+def acc_dot(a, b):
+    """Dot product with f64 accumulation (when x64 is available) — the
+    mixed-precision answer to ``config.h:6-7``'s f64 outer solve: on f32
+    vectors with 1e6+ entries the f32 reduction noise is what corrupts
+    Gram-Schmidt coefficients and convergence tests; accumulating in f64
+    (emulated on TPU, ~O(N) VPU cost) restores f64-grade reductions while
+    the vectors and the matvec stay f32.  Results are rounded back to the
+    vector dtype so downstream arithmetic is unchanged."""
+    if jax.config.jax_enable_x64 and a.dtype == jnp.float32:
+        return jnp.vdot(
+            a.astype(jnp.float64), b.astype(jnp.float64)
+        ).astype(a.dtype)
+    return jnp.vdot(a, b)
+
+
+def acc_norm(a):
+    """2-norm via :func:`acc_dot` (f64-accumulated sum of squares)."""
+    if jax.config.jax_enable_x64 and a.dtype == jnp.float32:
+        a64 = a.reshape(-1).astype(jnp.float64)
+        return jnp.sqrt(jnp.vdot(a64, a64)).astype(a.dtype)
+    return jnp.linalg.norm(a.reshape(-1))
+
+
 @functools.partial(
     jax.jit, static_argnames=("A", "M", "restart", "max_restarts")
 )
@@ -79,7 +102,7 @@ def gmres(
         # no longer reduce the true residual.
         x, total_it, prev_beta, _ = carry
         r = bf - mv(x)
-        beta = jnp.linalg.norm(r)
+        beta = acc_norm(r)
 
         V = jnp.zeros((m + 1, n), dtype)
         H = jnp.zeros((m + 1, m), dtype)
@@ -95,13 +118,13 @@ def gmres(
             # modified Gram-Schmidt, masked to k <= j
             def mgs(k, wh):
                 w, hcol = wh
-                hk = jnp.where(k <= j, jnp.dot(V[k], w), 0.0)
+                hk = jnp.where(k <= j, acc_dot(V[k], w), 0.0)
                 return (w - hk * V[k], hcol.at[k].set(hk))
 
             w, hcol = jax.lax.fori_loop(
                 0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype))
             )
-            hj1 = jnp.linalg.norm(w)
+            hj1 = acc_norm(w)
             V = V.at[j + 1].set(jnp.where(hj1 > 0, w / hj1, 0.0))
             hcol = hcol.at[j + 1].set(hj1)
 
@@ -161,7 +184,7 @@ def gmres(
         outer_cond, cycle, (x0f, jnp.array(0), inf, jnp.array(False))
     )
     # final true residual for honest reporting
-    res_final = jnp.linalg.norm(bf - mv(x))
+    res_final = acc_norm(bf - mv(x))
     return SolveResult(x.reshape(shape), it, res_final, res_final <= tol)
 
 
@@ -207,7 +230,7 @@ def gmres_fixed(
     def cycle(_, carry):
         x, total_it = carry
         r = bf - mv(x)
-        beta = jnp.linalg.norm(r)
+        beta = acc_norm(r)
 
         V = jnp.zeros((m + 1, n), dtype)
         H = jnp.zeros((m + 1, m), dtype)
@@ -223,13 +246,13 @@ def gmres_fixed(
 
             def mgs(k, wh):
                 w, hcol = wh
-                hk = jnp.where(k <= j, jnp.dot(V[k], w), 0.0)
+                hk = jnp.where(k <= j, acc_dot(V[k], w), 0.0)
                 return (w - hk * V[k], hcol.at[k].set(hk))
 
             w, hcol = jax.lax.fori_loop(
                 0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype))
             )
-            hj1 = jnp.linalg.norm(w)
+            hj1 = acc_norm(w)
             V = V.at[j + 1].set(
                 jnp.where(active & (hj1 > 0), w / jnp.maximum(hj1, 1e-300),
                           V[j + 1])
@@ -277,7 +300,7 @@ def gmres_fixed(
     x, it = jax.lax.fori_loop(
         0, n_cycles, cycle, (x0.reshape(-1), jnp.array(0))
     )
-    res_final = jnp.linalg.norm(bf - mv(x))
+    res_final = acc_norm(bf - mv(x))
     return SolveResult(x.reshape(shape), it, res_final, res_final <= tol)
 
 

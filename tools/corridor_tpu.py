@@ -1,0 +1,127 @@
+"""Turek 2D-2 (Re100, unsteady shedding) corridor run with the PRODUCTION
+TPU settings — f32 outer solve, bf16x3 matmul floor, "step"-granularity
+preconditioner rebuild — checked against the stored f64/CPU-converged
+series (validation/turek_2d_re100_ref2_q2_series.json) and the published
+Schäfer-Turek windows.  This certifies that the on-chip precision
+trade-offs preserve the physics (drag/lift/Strouhal), which step-*timing*
+benchmarks cannot (reference physics: ``simulation.cc:433-640``).
+
+Usage: python tools/corridor_tpu.py [ref] [t_final]   (defaults 2, 35.0)
+Prints one JSON verdict line; exit code 0 iff inside the corridors.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def shedding_stats(t, drag, lift, t_tail=8.0):
+    m = t > t[-1] - t_tail
+    tt, ll = t[m], lift[m]
+    up = tt[1:][(ll[:-1] < 0) & (ll[1:] >= 0)]
+    period = float(np.diff(up).mean()) if len(up) > 2 else float("nan")
+    return {
+        "drag_max": float(drag[m].max()),
+        "lift_max": float(lift[m].max()),
+        "lift_min": float(lift[m].min()),
+        "strouhal": 0.1 / period,
+    }
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        f"/tmp/jax_cache_corridor_{jax.default_backend()}",
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    ref = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    tf = float(sys.argv[2]) if len(sys.argv) > 2 else 35.0
+
+    from ns_gls_tpu.config import Parameters
+    from ns_gls_tpu.driver import Driver
+    from ns_gls_tpu.utils import logging as nslog
+
+    nslog.set_verbose(False)
+    p = Parameters.from_dict({
+        "dim": 2, "fe degree": 2, "mapping degree": 0,
+        "n global refinements": ref, "simulation name": "cylinder",
+        "cfl": 1.0, "t final": tf, "bdf order": 2,
+        "time intration": "bdf",
+        "c1": 2.0, "c2": 1.0, "nu": 0.001,
+        "consider time derivative": True,
+        "cell wise stabilization": False,
+        "lin relative tolerance": 1e-2, "preconditioner": "GMG",
+        "gmg coarse grid solver": "direct",
+        "gmg coarse grid iterate": False,
+        "nonlinear solver": "Newton", "newton inexact": True,
+        "output granularity": 0.0,
+        "simulation no slip cylinder": True,
+        "simulation no slip wall": True,
+        "simulation geometry cylinder shift": 0.005,
+        "simulation t init": 0.01, "simulation u max": 1.5,
+        # the production on-chip settings (PERF.md / bench_step.py);
+        # per-step relative Newton tolerance: the f32 residual-evaluation
+        # noise floor scales with the step's residual magnitude
+        "precision": "f32",
+        "nonlinear tolerance": 1e-4,
+        "nonlinear tolerance relative": True,
+        "preconditioner update granularity": "step",
+    })
+    d = Driver(p)
+    t0 = time.time()
+    recs = d.run()
+    wall = time.time() - t0
+
+    t = np.array([r["t"] for r in recs])
+    drag = np.array([r["drag"] for r in recs])
+    lift = np.array([r["lift"] for r in recs])
+    s = shedding_stats(t, drag, lift)
+    json.dump(
+        [dict(t=float(r["t"]), drag=float(r["drag"]),
+              lift=float(r["lift"]), p_diff=float(r["p_diff"]))
+         for r in recs],
+        open(f"/tmp/turek2d2_tpu_ref{ref}_series.json", "w"),
+    )
+
+    # stored converged (CPU f64) series at the same discretization
+    ok = True
+    ref_stats = None
+    if ref == 2:
+        vals = json.load(
+            open("validation/turek_2d_re100_ref2_q2_series.json")
+        )
+        rt = np.array([r["t"] for r in vals])
+        rdrag = np.array([r["drag"] for r in vals])
+        rlift = np.array([r["lift"] for r in vals])
+        ref_stats = shedding_stats(rt, rdrag, rlift)
+        # match the f64 series' shedding characteristics closely
+        ok &= abs(s["drag_max"] - ref_stats["drag_max"]) < 0.02
+        ok &= abs(s["lift_max"] - ref_stats["lift_max"]) < 0.08
+        ok &= abs(s["strouhal"] - ref_stats["strouhal"]) < 0.004
+    # published Schäfer-Turek windows (ref-2 calibrated, test_turek_unsteady)
+    ok &= 3.12 < s["drag_max"] < 3.32
+    ok &= 0.90 < s["lift_max"] < 1.18
+    ok &= 0.286 < s["strouhal"] < 0.306
+    ok &= s["lift_min"] < -0.85
+
+    print(json.dumps({
+        "metric": "turek_2d2_corridor_tpu",
+        "backend": jax.default_backend(),
+        "stats": s,
+        "ref_stats": ref_stats,
+        "steps": len(recs),
+        "wall_s": round(wall, 1),
+        "ok": bool(ok),
+    }), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
