@@ -72,15 +72,23 @@ def element_matrices(op: NavierStokesOperator, cells: np.ndarray | None = None,
     flattened local dof order (i * C + c)."""
     n_loc = op.space.element.n_loc
     C = op.n_comp
-    f = _local_apply(op)
 
-    def emat(jinv, jxw, cq):
-        u0 = jnp.zeros((n_loc, C), op.dtype)
-        J = jax.jacfwd(lambda u: f(u, jinv, jxw, cq))(u0)
-        return J.reshape(n_loc * C, n_loc * C)
+    # memoized on the operator (same reason as compute_diagonal: a fresh
+    # jit wrapper per call would recompile on every rebuild)
+    emat_v = getattr(op, "_emat_v", None)
+    if emat_v is None:
+        f = _local_apply(op)
 
-    cq_axes = {k: (None if k == "weight" else 0) for k in _cq_cell_tree(op)}
-    emat_v = jax.jit(jax.vmap(emat, in_axes=(0, 0, cq_axes)))
+        def emat(jinv, jxw, cq):
+            u0 = jnp.zeros((n_loc, C), op.dtype)
+            J = jax.jacfwd(lambda u: f(u, jinv, jxw, cq))(u0)
+            return J.reshape(n_loc * C, n_loc * C)
+
+        cq_axes = {
+            k: (None if k == "weight" else 0) for k in _cq_cell_tree(op)
+        }
+        emat_v = jax.jit(jax.vmap(emat, in_axes=(0, 0, cq_axes)))
+        op._emat_v = emat_v
 
     sel = np.arange(op.space.mesh.n_cells) if cells is None else np.asarray(cells)
     cq_all = _cq_cell_tree(op)
@@ -106,15 +114,28 @@ def compute_diagonal(op: NavierStokesOperator, chunk: int = 2048) -> jnp.ndarray
     Jacobi smoother tolerates this.)"""
     n_loc = op.space.element.n_loc
     C = op.n_comp
-    f = _local_apply(op)
 
-    def ediag(jinv, jxw, cq):
-        u0 = jnp.zeros((n_loc, C), op.dtype)
-        J = jax.jacfwd(lambda u: f(u, jinv, jxw, cq))(u0)
-        return jnp.diagonal(J.reshape(n_loc * C, n_loc * C)).reshape(n_loc, C)
+    # memoize the jitted per-cell diagonal kernel on the operator: a
+    # fresh jax.jit wrapper per call defeats the jit cache (new function
+    # identity), so every preconditioner rebuild paid a full
+    # retrace+recompile (~0.75 s/level/step, over half the measured
+    # Turek step time)
+    ediag_v = getattr(op, "_ediag_v", None)
+    if ediag_v is None:
+        f = _local_apply(op)
 
-    cq_axes = {k: (None if k == "weight" else 0) for k in _cq_cell_tree(op)}
-    ediag_v = jax.jit(jax.vmap(ediag, in_axes=(0, 0, cq_axes)))
+        def ediag(jinv, jxw, cq):
+            u0 = jnp.zeros((n_loc, C), op.dtype)
+            J = jax.jacfwd(lambda u: f(u, jinv, jxw, cq))(u0)
+            return jnp.diagonal(
+                J.reshape(n_loc * C, n_loc * C)
+            ).reshape(n_loc, C)
+
+        cq_axes = {
+            k: (None if k == "weight" else 0) for k in _cq_cell_tree(op)
+        }
+        ediag_v = jax.jit(jax.vmap(ediag, in_axes=(0, 0, cq_axes)))
+        op._ediag_v = ediag_v
 
     n_c = op.space.mesh.n_cells
     cq_all = _cq_cell_tree(op)

@@ -62,6 +62,9 @@ def main():
         "gmg coarse grid iterate": False,
         "nonlinear solver": "Newton", "newton inexact": True,
         "output granularity": 0.0,
+        # incremental drag/lift series (append-mode .m file) so a
+        # mid-run worker crash does not lose the whole series
+        "paraview prefix": "/tmp/corridor_r3",
         "simulation no slip cylinder": True,
         "simulation no slip wall": True,
         "simulation geometry cylinder shift": 0.005,
