@@ -261,7 +261,10 @@ class Driver:
         self.mg_ops = []
         self.mg_transfers = []
         with timer("setup::preconditioner"):
-            if p.preconditioner in ("GMG", "GMG-LS"):
+            if p.preconditioner == "GMG-LS" and p.n_devices == 1:
+                self._setup_gmg_ls(sim, bcs, mapping_degree,
+                                   increment_form, mg_dtype)
+            elif p.preconditioner in ("GMG", "GMG-LS"):
                 self._setup_gmg(sim, bcs, mapping_degree, increment_form,
                                 mg_dtype)
             elif p.preconditioner == "ILU":
@@ -384,21 +387,55 @@ class Driver:
             for l in range(len(meshes) - 1)
         ]
         mg_ops_apply = None
+        mg_transfer_ops = None
         if p.n_devices > 1:
             # shard every level's hot apply over the same device mesh as
             # the fine operator: the V-cycle's smoother vmults (the
             # dominant cost, SURVEY §3.4) then scale with the chips, not
             # just the fine-level GMRES matvec
-            from ns_gls_tpu.parallel.sharding import ShardedOperator
+            if (p.parallel_strategy == "halo"
+                    and p.use_matrix_free_ns_operator):
+                # fully distributed V-cycle: node-sharded level operators
+                # + O(interface) halo transfers; only the coarse solve
+                # gathers to the replicated layout (``main.cc:540-567``
+                # on partitioned vectors)
+                from ns_gls_tpu.parallel.halo import (
+                    HaloShardedOperator,
+                    HaloTransferOps,
+                )
 
-            mg_ops_apply = [
-                ShardedOperator(op_l, self.device_mesh)
-                for op_l in self.mg_ops
-            ]
+                mg_ops_apply = [
+                    HaloShardedOperator(op_l, self.device_mesh)
+                    for op_l in self.mg_ops
+                ]
+                mg_transfer_ops = [
+                    HaloTransferOps(
+                        self.mg_transfers[l], mg_ops_apply[l],
+                        mg_ops_apply[l + 1],
+                    )
+                    for l in range(len(self.mg_ops) - 1)
+                ]
+                # the outer Krylov hands the V-cycle vectors in the fine
+                # operator's distributed layout — the finest level op
+                # must partition identically (same mesh, same SFC order)
+                import numpy as _np
+
+                assert _np.array_equal(
+                    _np.asarray(mg_ops_apply[-1]._own_global),
+                    _np.asarray(self.op._own_global),
+                ), "fine MG level layout differs from the operator's"
+            else:
+                from ns_gls_tpu.parallel.sharding import ShardedOperator
+
+                mg_ops_apply = [
+                    ShardedOperator(op_l, self.device_mesh)
+                    for op_l in self.mg_ops
+                ]
         self.preconditioner = PreconditionerGMG(
             self.mg_ops,
             self.mg_transfers,
             level_ops_apply=mg_ops_apply,
+            transfer_ops=mg_transfer_ops,
             fine_dtype=p.dtype,
             mg_dtype=mg_dtype,
             smoothing_n_iterations=p.gmg.smoothing_n_iterations,
@@ -411,6 +448,106 @@ class Driver:
                 p.gmg.coarse_grid_amg_default_parameters
             ),
             compute_evs_n_levels=p.gmg.compute_evs_n_levels,
+            logger=self.log
+            if (p.gmg.output_details or p.gmg.compute_evs_n_levels > 0)
+            else None,
+        )
+
+    def _setup_gmg_ls(self, sim, bcs, mapping_degree, increment_form,
+                      mg_dtype):
+        """Local-smoothing multigrid (``main.cc:569-732``): levels are
+        the cells of each refinement level of the forest, smoothing is
+        masked off the refinement edge, the coarse level is the full
+        initial mesh.  See ``precond/gmg_ls.py`` for the cycle."""
+        import numpy as np
+
+        from ns_gls_tpu.mesh.forest import forest_levels
+        from ns_gls_tpu.precond.gmg_ls import PreconditionerGMGLS
+
+        p = self.params
+        levels = forest_levels(self.mesh)
+        n_fin = self.space.n_nodes
+        self.mg_spaces = []
+        self.mg_ops = []
+        lvl2fin = []       # per level: (level_nodes, fin_nodes) full map
+        for lvl, L in enumerate(levels):
+            space_l = FESpace(L.mesh, p.fe_degree, mapping_degree)
+            self.mg_spaces.append(space_l)
+            cs = ConstraintSetBuilder(space_l, bcs, mg_dtype)
+            ca = cs.homogeneous
+            if p.gmg_constraint_coarse_pressure_dof and lvl == 0:
+                ca = self._pin_coarse_pressure(space_l, ca)
+            op_l = NavierStokesOperator(
+                space_l, ca, ca,
+                nu=p.nu, c_1=p.c_1, c_2=p.c_2,
+                time_integrator=self.time_integrator,
+                consider_time_derivative=p.consider_time_derivative,
+                increment_form=increment_form,
+                cell_wise_stabilization=p.cell_wise_stabilization,
+                outflow_bcs_cut=bcs.all_outflow_bcs_cut,
+                outflow_bcs_nitsche=dict(bcs.all_outflow_bcs_nitsche),
+                dtype=mg_dtype,
+                structured_precision="bf16",
+            )
+            op_l.constraints_inhomogeneous = ca
+            self.mg_ops.append(op_l)
+
+            act = np.nonzero(L.active >= 0)[0]
+            ln = np.asarray(space_l.cell_nodes)[act].reshape(-1)
+            fn = np.asarray(self.space.cell_nodes)[L.active[act]].reshape(-1)
+            pairs = np.unique(np.stack([ln, fn], axis=1), axis=0)
+            assert len(np.unique(pairs[:, 0])) == len(pairs), \
+                "inconsistent level-to-global node identification"
+            lvl2fin.append((pairs[:, 0], pairs[:, 1]))
+
+        self.mg_transfers = [
+            build_transfer(self.mg_spaces[l], self.mg_spaces[l + 1],
+                           mg_dtype)
+            for l in range(len(levels) - 1)
+        ]
+
+        # coarsest active level of every final node (edge dofs belong to
+        # the coarse side; defect injection happens there)
+        node_min_level = np.full(n_fin, len(levels), np.int64)
+        for lvl, (ln, fn) in enumerate(lvl2fin):
+            np.minimum.at(node_min_level, fn, lvl)
+
+        # refinement-edge masks: faces of the level mesh with a single
+        # cell that are not on the domain boundary border coarser active
+        # cells (2:1 balance); their nodes are excluded from smoothing
+        inj_maps, copy_maps, int_masks = [], [], []
+        for lvl, L in enumerate(levels):
+            space_l = self.mg_spaces[lvl]
+            mask = np.ones((space_l.n_nodes, 1), np.float64)
+            if lvl > 0:
+                bf = L.mesh.compute_boundary_faces()
+                iface = bf[L.mesh.boundary_ids[bf[:, 0], bf[:, 1]] < 0]
+                cn = np.asarray(space_l.cell_nodes)
+                for lf in np.unique(iface[:, 1]):
+                    cells = iface[iface[:, 1] == lf, 0]
+                    loc = space_l.face_node_lattice(int(lf))
+                    mask[cn[cells][:, loc].reshape(-1)] = 0.0
+            int_masks.append(mask)
+            ln, fn = lvl2fin[lvl]
+            res = node_min_level[fn] == lvl
+            inj_maps.append((ln[res], fn[res]))
+            copy_maps.append((ln, fn))
+
+        self._ls_lvl2fin = lvl2fin
+        self.preconditioner = PreconditionerGMGLS(
+            self.mg_ops,
+            self.mg_transfers,
+            inj_maps,
+            copy_maps,
+            int_masks,
+            constrained_rows=np.asarray(self.csets.homogeneous.rows),
+            n_fine_nodes=n_fin,
+            fine_dtype=p.dtype,
+            mg_dtype=mg_dtype,
+            smoothing_n_iterations=p.gmg.smoothing_n_iterations,
+            smoothing_range=p.gmg.smoothing_range,
+            smoothing_eig_n_iterations=p.gmg.smoothing_eig_cg_n_iterations,
+            coarse_grid_solver=p.gmg.coarse_grid_solver,
             logger=self.log
             if (p.gmg.output_details or p.gmg.compute_evs_n_levels > 0)
             else None,
@@ -446,13 +583,33 @@ class Driver:
     # ------------------------------------------------------------------
     def _interpolate_to_levels(self, u_fine):
         """Fine -> all levels via chained solution interpolation
-        (``interpolate_to_mg``, ``main.cc:789-795``)."""
+        (``interpolate_to_mg``, ``main.cc:789-795``).  In the GMG-LS
+        flavor the level meshes only partially overlap the final mesh:
+        the active region copies the global values directly and the
+        ancestor region gets the interpolation from the finer level."""
+        ls_maps = getattr(self, "_ls_lvl2fin", None)
         out = [None] * len(self.mg_ops)
         cur = u_fine.astype(self.params.mg_dtype)
-        out[-1] = cur
-        for l in range(len(self.mg_ops) - 2, -1, -1):
-            cur = interpolate_to_coarse(self.mg_transfers[l], cur)
-            out[l] = cur
+        if ls_maps is None:
+            out[-1] = cur
+            for l in range(len(self.mg_ops) - 2, -1, -1):
+                cur = interpolate_to_coarse(self.mg_transfers[l], cur)
+                out[l] = cur
+            return out
+        import jax.numpy as jnp
+
+        for l in range(len(self.mg_ops) - 1, -1, -1):
+            w = (
+                interpolate_to_coarse(self.mg_transfers[l], out[l + 1])
+                if l < len(self.mg_ops) - 1
+                else jnp.zeros(
+                    (self.mg_spaces[l].n_nodes, self.params.dim + 1),
+                    self.params.mg_dtype,
+                )
+            )
+            ln, fn = ls_maps[l]
+            w = w.at[jnp.asarray(ln)].set(cur[jnp.asarray(fn)])
+            out[l] = w
         return out
 
     def _setup_jacobian(self, u):

@@ -27,9 +27,11 @@ p4est SFC partition ``main.cc:230-233``):
   Cᵀ moves each device's own partial onto local masters before the
   compress sums them at the owners.
 
-The GMG V-cycle currently runs on the replicated layout; the linear
-solver converts at the preconditioner boundary (O(N) there, O(halo) for
-every operator apply).  ``StructuredShardedOperator`` stays the
+The GMG V-cycle runs fully distributed as well: level operators are
+halo-sharded, MG transfers are :class:`HaloTransferOps` (window gather +
+ppermute, O(inter-device interface) payloads), and only the (small)
+coarse solve gathers to the replicated layout — so the Krylov loop never
+touches an O(N) collective.  ``StructuredShardedOperator`` stays the
 specialised fast path for structured lattices.
 """
 
@@ -154,6 +156,10 @@ class HaloShardedOperator:
 
         own = [ld[owner[ld] == d] for d, ld in enumerate(local)]
         ghost = [ld[owner[ld] != d] for d, ld in enumerate(local)]
+        # kept for layout-coupled consumers (MG transfers): node ownership
+        # and per-device owned-node lists in slot order
+        self.owner = owner
+        self.own_lists = own
         self.n_own_max = n_own_max = max(len(o) for o in own)
         n_gh_max = max((len(g) for g in ghost), default=0)
         # local slot layout: [owned | ghosts | trash]
@@ -684,3 +690,182 @@ class HaloShardedOperator:
     @property
     def n_nodes(self):
         return self.op.n_nodes
+
+
+class HaloTransferArgs(NamedTuple):
+    """Dynamic pytree of a distributed two-level transfer (device-major)."""
+
+    fill_src: jnp.ndarray   # (n_dev, Lf) coarse owned slots (local copies)
+    fill_dst: jnp.ndarray   # (n_dev, Lf) window slots
+    sends: tuple            # per round: (n_dev, Lr) coarse owned slots
+    recvs: tuple            # per round: (n_dev, Lr) window slots
+    cols: jnp.ndarray       # (n_dev, n_own_f_max, K) window slots
+    wts: jnp.ndarray        # (n_dev, n_own_f_max, K)
+
+
+class HaloTransferOps:
+    """Distributed two-level MG transfer between the node layouts of a
+    coarse and a fine :class:`HaloShardedOperator`.
+
+    TPU-native equivalent of the *distributed* ``MGTwoLevelTransfer``
+    (``main.cc:540-567``): prolongation gathers the coarse values each
+    device needs into a transfer-local window (one ``ppermute`` round per
+    SFC-neighbor distance, payload O(window)), then evaluates the
+    embedding weights on owned fine nodes; restriction is the exact
+    transpose (scatter into the window, reverse exchange, add at the
+    coarse owners).  Communication volume is O(inter-device interface),
+    independent of N — the V-cycle never touches a replicated vector
+    above the coarse solve.
+    """
+
+    def __init__(self, t, coarse: "HaloShardedOperator",
+                 fine: "HaloShardedOperator"):
+        n_dev = fine.n_dev
+        assert coarse.n_dev == n_dev
+        self.mesh = fine.mesh
+        self.n_own_c = coarse.n_own_max
+        self.n_own_f = fine.n_own_max
+        p_cols = np.asarray(t.p_cols)
+        p_wts = np.asarray(t.p_wts)
+        K = p_cols.shape[1]
+        owner_c = coarse.owner
+        g2l_c = coarse._g2l
+
+        need = []       # per device: remote coarse nodes, sorted
+        w2l = {}        # (d, node) -> window slot
+        n_need = []
+        for d in range(n_dev):
+            ofd = fine.own_lists[d]
+            cd = p_cols[ofd]
+            wd = p_wts[ofd]
+            nodes = np.unique(cd[wd != 0.0]) if len(ofd) else np.empty(
+                0, np.int64
+            )
+            for i, nd in enumerate(nodes):
+                w2l[(d, int(nd))] = i
+            n_need.append(len(nodes))
+            need.append(nodes)
+        self.n_win = n_win = max(max(n_need, default=0), 1)
+
+        # local fills (window slots whose coarse node is owned here)
+        Lf = max(
+            (int((owner_c[nd] == d).sum()) for d, nd in enumerate(need)),
+            default=0,
+        )
+        Lf = max(Lf, 1)
+        fill_src = np.zeros((n_dev, Lf), np.int64)
+        fill_dst = np.full((n_dev, Lf), n_win, np.int64)
+        for d in range(n_dev):
+            mine = need[d][owner_c[need[d]] == d]
+            fill_src[d, : len(mine)] = g2l_c[d, mine]
+            fill_dst[d, : len(mine)] = [w2l[(d, int(n))] for n in mine]
+
+        # exchange rounds (delta = receiver - owner), as in the halo plan
+        plans = {}
+        for d in range(n_dev):
+            rem = need[d][owner_c[need[d]] != d]
+            og = owner_c[rem]
+            for o in np.unique(og):
+                plans.setdefault(int(d - o), {})[int(o)] = rem[og == o]
+        self._pairs = []
+        sends, recvs = [], []
+        for delta in sorted(plans):
+            by_src = plans[delta]
+            L = max(len(v) for v in by_src.values())
+            send = np.zeros((n_dev, L), np.int64)
+            recv = np.full((n_dev, L), n_win, np.int64)
+            pairs = []
+            for o, nodes in sorted(by_src.items()):
+                send[o] = _pad_rows(g2l_c[o, nodes], L, 0)
+                recv[o + delta] = _pad_rows(
+                    np.array(
+                        [w2l[(o + delta, int(n))] for n in nodes], np.int64
+                    ),
+                    L, n_win,
+                )
+                pairs.append((o, o + delta))
+            self._pairs.append(tuple(pairs))
+            sends.append(jnp.asarray(send.astype(np.int32)))
+            recvs.append(jnp.asarray(recv.astype(np.int32)))
+
+        # embedding maps on owned fine nodes, window-slot numbering
+        cols = np.full((n_dev, fine.n_own_max, K), n_win, np.int64)
+        wts = np.zeros((n_dev, fine.n_own_max, K), p_wts.dtype)
+        for d in range(n_dev):
+            ofd = fine.own_lists[d]
+            cd = p_cols[ofd]
+            wd = p_wts[ofd]
+            loc = np.full(cd.shape, n_win, np.int64)
+            for i in range(len(ofd)):
+                for k in range(K):
+                    if wd[i, k] != 0.0:
+                        loc[i, k] = w2l[(d, int(cd[i, k]))]
+            cols[d, : len(ofd)] = loc
+            wts[d, : len(ofd)] = wd
+        self.args = HaloTransferArgs(
+            fill_src=jnp.asarray(fill_src.astype(np.int32)),
+            fill_dst=jnp.asarray(fill_dst.astype(np.int32)),
+            sends=tuple(sends),
+            recvs=tuple(recvs),
+            cols=jnp.asarray(cols.astype(np.int32)),
+            wts=jnp.asarray(wts),
+        )
+        self._build()
+
+    def _build(self):
+        from jax.experimental.shard_map import shard_map
+
+        n_win = self.n_win
+        n_own_c = self.n_own_c
+        pairs_all = self._pairs
+        spec = HaloTransferArgs(
+            fill_src=P(AXIS), fill_dst=P(AXIS),
+            sends=tuple(P(AXIS) for _ in pairs_all),
+            recvs=tuple(P(AXIS) for _ in pairs_all),
+            cols=P(AXIS), wts=P(AXIS),
+        )
+
+        def fill_window(a: HaloTransferArgs, u):
+            # u: (1, n_own_c, C) shard -> window (n_win+1, C), trash last
+            C = u.shape[-1]
+            win = jnp.zeros((n_win + 1, C), u.dtype)
+            win = win.at[a.fill_dst[0]].set(u[0][a.fill_src[0]])
+            for pairs, snd, rcv in zip(pairs_all, a.sends, a.recvs):
+                buf = u[0][snd[0]]
+                buf = jax.lax.ppermute(buf, AXIS, perm=list(pairs))
+                win = win.at[rcv[0]].set(buf)
+            return win.at[n_win].set(0.0)
+
+        def prolongate_local(a: HaloTransferArgs, u):
+            win = fill_window(a, u)
+            uf = jnp.einsum(
+                "nkc,nk->nc", win[a.cols[0]], a.wts[0].astype(u.dtype)
+            )
+            return uf[None]
+
+        def restrict_local(a: HaloTransferArgs, r):
+            C = r.shape[-1]
+            win = jnp.zeros((n_win + 1, C), r.dtype)
+            win = win.at[a.cols[0]].add(
+                r[0][:, None, :] * a.wts[0][..., None].astype(r.dtype)
+            )
+            rc = jnp.zeros((n_own_c + 1, C), r.dtype)
+            rc = rc.at[a.fill_src[0]].add(win[a.fill_dst[0]])
+            for pairs, snd, rcv in zip(pairs_all, a.sends, a.recvs):
+                buf = win[rcv[0]]
+                back = [(b, aa) for (aa, b) in pairs]
+                buf = jax.lax.ppermute(buf, AXIS, perm=back)
+                # devices without a partner in this round receive zeros;
+                # snd pads point at slot 0 and carry zero payload
+                rc = rc.at[snd[0]].add(buf)
+            return rc[:n_own_c][None]
+
+        mesh = self.mesh
+        self.prolongate_pure = shard_map(
+            prolongate_local, mesh=mesh, in_specs=(spec, P(AXIS)),
+            out_specs=P(AXIS), check_rep=False,
+        )
+        self.restrict_pure = shard_map(
+            restrict_local, mesh=mesh, in_specs=(spec, P(AXIS)),
+            out_specs=P(AXIS), check_rep=False,
+        )

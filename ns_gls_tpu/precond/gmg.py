@@ -56,6 +56,7 @@ class PreconditionerGMG:
         compute_evs_n_levels: int = 0,
         logger=None,
         level_ops_apply: list | None = None,
+        transfer_ops: list | None = None,
     ):
         # level_ops: plain per-level operators (assembly, diagonals, the
         # coarse solve). level_ops_apply: optional device-mesh-sharded
@@ -69,6 +70,16 @@ class PreconditionerGMG:
             else list(level_ops)
         )
         self.transfers = tuple(transfers)
+        # transfer_ops: distributed (halo-layout) transfer objects with
+        # prolongate_pure/restrict_pure/args — when given, the whole
+        # V-cycle runs on distributed (n_dev, n_own_max, C) vectors with
+        # O(interface) ppermute collectives; only the coarse solve
+        # gathers to the (small) replicated layout.  Replaces the
+        # replicated-transfer path for multi-chip runs
+        # (``MGTransferGlobalCoarsening`` on partitioned vectors,
+        # ``main.cc:540-567``).
+        self.transfer_ops = transfer_ops
+        self.distributed = transfer_ops is not None
         self.fine_dtype = fine_dtype
         self.mg_dtype = mg_dtype
         self.n_smooth = smoothing_n_iterations
@@ -101,6 +112,31 @@ class PreconditionerGMG:
         mgdt = self.mg_dtype
         C = level_ops[0].n_comp
 
+        distributed = self.distributed
+        if distributed:
+            pro_fns = tuple(t.prolongate_pure for t in self.transfer_ops)
+            res_fns = tuple(t.restrict_pure for t in self.transfer_ops)
+            # coarse-level distributed<->replicated conversion maps (the
+            # coarse problem is small — the reference equally replicates
+            # it across ranks, ``multigrid.cc:107-110``)
+            og0 = self.level_ops_apply[0]._own_global
+            om0 = self.level_ops_apply[0]._own_mask
+            n0 = level_ops[0].n_nodes
+
+            def d2g0(rd):
+                def per_dev(carry, dev):
+                    og, mask, r_own = dev
+                    return carry.at[og].add(
+                        r_own * mask[:, None].astype(r_own.dtype)
+                    ), None
+
+                out = jnp.zeros((n0, C), rd.dtype)
+                out, _ = jax.lax.scan(per_dev, out, (og0, om0, rd))
+                return out
+
+            def g2d0(r):
+                return r[og0] * om0[..., None].astype(r.dtype)
+
         def coarse_apply(args: GMGArgs, r):
             """One application of the coarse preconditioner: dense LU for
             small coarse problems ("direct"), host-side ILU ("ILU",
@@ -122,8 +158,15 @@ class PreconditionerGMG:
             return self._coarse_amg.vmult_pure(args.coarse_lu, r)
 
         def coarse_solve(args: GMGArgs, r):
+            if distributed:
+                def capply(x):
+                    return g2d0(coarse_apply(args, d2g0(x)))
+            else:
+                def capply(x):
+                    return coarse_apply(args, x)
+
             if not self.coarse_grid_iterate or coarse_kind == "identity":
-                return coarse_apply(args, r)
+                return capply(r)
             # iterative coarse solve: GMRES on the coarse level operator
             # preconditioned by coarse_apply (``multigrid.cc:490-532``).
             # On TPU the nested while-loop GMRES inside the V-cycle inside
@@ -138,7 +181,7 @@ class PreconditionerGMG:
 
                 res = gmres_fixed(
                     level_fns[0], args.level_args[0], r, jnp.zeros_like(r),
-                    M=lambda a, x: coarse_apply(args, x), m_args=(),
+                    M=lambda a, x: capply(x), m_args=(),
                     tol=tol, restart=30,
                     n_cycles=2,
                 )
@@ -147,7 +190,7 @@ class PreconditionerGMG:
 
                 res = gmres(
                     level_fns[0], args.level_args[0], r, jnp.zeros_like(r),
-                    M=lambda a, x: coarse_apply(args, x), m_args=(),
+                    M=lambda a, x: capply(x), m_args=(),
                     tol=tol, restart=30, max_restarts=10,
                 )
             return res.x
@@ -170,9 +213,14 @@ class PreconditionerGMG:
             # pre-smooth from zero initial guess
             x = smooth(args, level, jnp.zeros_like(b), b)
             d = b - level_fns[level](args.level_args[level], x)
-            d_c = tr.restrict(args.transfers[level - 1], d)
-            x_c = vcycle_level(args, level - 1, d_c)
-            x = x + tr.prolongate(args.transfers[level - 1], x_c)
+            if distributed:
+                d_c = res_fns[level - 1](args.transfers[level - 1], d)
+                x_c = vcycle_level(args, level - 1, d_c)
+                x = x + pro_fns[level - 1](args.transfers[level - 1], x_c)
+            else:
+                d_c = tr.restrict(args.transfers[level - 1], d)
+                x_c = vcycle_level(args, level - 1, d_c)
+                x = x + tr.prolongate(args.transfers[level - 1], x_c)
             return smooth(args, level, x, b)
 
         def vmult_fn(args: GMGArgs, src):
@@ -226,19 +274,28 @@ class PreconditionerGMG:
         from ns_gls_tpu.utils.timer import timer
 
         inv_diags = []
+        inv_diags_apply = []
         omegas = []
         for lvl, op in enumerate(self.level_ops):
             if lvl == 0 and not self._needs_level0_args:
                 inv_diags.append(())
+                inv_diags_apply.append(())
                 omegas.append(())
                 continue
             with timer("mg_init::diagonal"):
                 d = compute_inverse_diagonal(op)
                 jax.block_until_ready(d)
+            if self.distributed:
+                # smoother state lives in the distributed layout (the
+                # diagnostic below still reads the global copy)
+                d_apply = self.level_ops_apply[lvl].to_dist(d)
+            else:
+                d_apply = d
             inv_diags.append(d)
+            inv_diags_apply.append(d_apply)
             with timer("mg_init::omega"):
                 om = self._estimate_omega(
-                    self.level_ops_apply[lvl].vmult_args, d, lvl
+                    self.level_ops_apply[lvl].vmult_args, d_apply, lvl
                 )
                 float(om)
             omegas.append(om)
@@ -313,9 +370,12 @@ class PreconditionerGMG:
 
         self._args = GMGArgs(
             level_args=self._apply_level_args(),
-            inv_diags=tuple(inv_diags),
+            inv_diags=tuple(inv_diags_apply),
             omegas=tuple(omegas),
-            transfers=self.transfers,
+            transfers=(
+                tuple(t.args for t in self.transfer_ops)
+                if self.distributed else self.transfers
+            ),
             coarse_lu=coarse_lu,
         )
         if self.logger:

@@ -373,8 +373,15 @@ class LinearSolverGMRES(LinearSolverBase):
             bd = op.to_dist(b)
             pre = self.preconditioner
 
-            def M(margs, x):
-                return op.to_dist(pre.vmult_pure(margs, op.to_global(x)))
+            if getattr(pre, "distributed", False):
+                # distributed V-cycle: same (n_dev, n_own_max, C) layout
+                # end to end — no O(N) conversion inside the Krylov loop
+                M = pre.vmult_pure
+            else:
+                def M(margs, x):
+                    return op.to_dist(
+                        pre.vmult_pure(margs, op.to_global(x))
+                    )
 
             res = gmres(
                 op.vmult_pure, op.vmult_args, bd, jnp.zeros_like(bd),
