@@ -327,7 +327,8 @@ def _mm_tools(mode: str):
 # the 3D kernel: grid over z-cell layers; x and y contractions on the MXU
 # (banded matmuls), z contraction as (P+1)-term scalar-weighted sums
 # ---------------------------------------------------------------------------
-def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode):
+def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
+                    wide=False):
     d = 3
     P = dims["P"]
     NQ = dims["NQ"]
@@ -375,7 +376,80 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode):
         h1 = h_ref[0, 0]
         hq = h_ref[1, 0]
 
-        def fwd(plane_refs, lead, grads):
+        # -- wide-batching geometry (see _fwd_wide/adjoint below) -------
+        Nx, L = bs_ref.shape
+        Q, Yr = bys_ref.shape
+        NxP = -(-Nx // 128) * 128
+        LP = -(-L // 128) * 128
+
+        def _pad_rows_k(a, n):
+            return jnp.zeros((n, a.shape[1]), a.dtype).at[: a.shape[0]].set(a)
+
+        def _lane_cat(tiles, w):
+            out = jnp.zeros((tiles[0].shape[0], len(tiles) * w), jnp.float32)
+            for j, t in enumerate(tiles):
+                out = jax.lax.dynamic_update_slice(out, t, (0, j * w))
+            return out
+
+        def _lane_to_rows(big, nb, w):
+            r = big.shape[0]
+            out = jnp.zeros((nb * r, w), big.dtype)
+            for j in range(nb):
+                out = jax.lax.dynamic_update_slice(
+                    out,
+                    jax.lax.dynamic_slice(big, (0, j * w), (r, w)),
+                    (j * r, 0),
+                )
+            return out
+
+        if wide:
+            bs_p = split(_pad_rows_k(bs_ref[:], NxP))     # (NxP, L)
+            bd_p = split(_pad_rows_k(bd_ref[:], NxP))
+            bsT_p = split(_pad_rows_k(bs_ref[:].T, LP))   # (LP, Nx)
+            bdT_p = split(_pad_rows_k(bd_ref[:].T, LP))
+
+        def fwd_wide(plane_refs, lead, grads):
+            """All (comp, plane) tiles contracted in a handful of WIDE
+            matmuls: lane-concat the plane tiles at 128-aligned offsets,
+            apply the shared-left y band once ((bys|byd)·T), re-stack the
+            lane blocks as rows (layout-preserving tile copies), then the
+            shared-right x band once (·bs/bd).  Same FLOPs as the
+            per-(comp, plane) loop but ~10x fewer MXU issues — the
+            kernel was issue-latency-bound, and unlike the block-
+            diagonal batching (kept below, measured slower) this wastes
+            no multiplies on structural zeros."""
+            nb = lead * n_pl
+            tiles = [
+                plane_refs[k][c, 0] for c in range(lead)
+                for k in range(n_pl)
+            ]
+            Ts = split(_lane_cat(tiles, NxP))      # (Yr, nb*NxP)
+            Y = mm(bys, Ts)                        # (Q, nb*NxP)
+            RSY = split(_lane_to_rows(Y, nb, NxP))  # (nb*Q, NxP)
+            A_all = mm(RSY, bs_p)                  # (nb*Q, L)
+            A = [
+                [A_all[(c * n_pl + k) * Q:(c * n_pl + k + 1) * Q]
+                 for k in range(n_pl)]
+                for c in range(lead)
+            ]
+            B = Cg = None
+            if grads:
+                B_all = mm(RSY, bd_p)
+                Yd = mm(byd, Ts)
+                C_all = mm(split(_lane_to_rows(Yd, nb, NxP)), bs_p)
+                B = [
+                    [B_all[(c * n_pl + k) * Q:(c * n_pl + k + 1) * Q]
+                     for k in range(n_pl)]
+                    for c in range(lead)
+                ]
+                Cg = [
+                    [C_all[(c * n_pl + k) * Q:(c * n_pl + k + 1) * Q]
+                     for k in range(n_pl)]
+                    for c in range(lead)
+                ]
+            return A, B, Cg
+
+        def fwd_narrow(plane_refs, lead, grads):
             """Per (comp, plane) xy-banded tensors on (NQ*ny, L):
             A = val base, B = x-deriv base, Cg = y-deriv base."""
             A = [[None] * n_pl for _ in range(lead)]
@@ -390,6 +464,8 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode):
                         B[c][k] = mm(bys, split(mm(t, bd)))
                         Cg[c][k] = mm(byd, tx)
             return A, B, Cg
+
+        fwd = fwd_wide if wide else fwd_narrow
 
         UA, UB, UC = fwd(u_refs, C, True)
         ULA, ULB, ULC = fwd(ul_refs, lead_ul, need_lin_grads)
@@ -487,15 +563,41 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode):
 
         # adjoint folds: y overlap-add via the transposed band matmul,
         # then x via the transposed x band
+        if wide:
+            nb2 = C * n_pl
+            ACCS = split(_lane_cat(
+                [accS[c][k] for c in range(C) for k in range(n_pl)], LP
+            ))
+            ACCDy = split(_lane_cat(
+                [accDy[c][k] for c in range(C) for k in range(n_pl)], LP
+            ))
+            ACCDx = split(_lane_cat(
+                [accDx[c][k] for c in range(C) for k in range(n_pl)], LP
+            ))
+            FS = mm(bysT, ACCS) + mm(bydT, ACCDy)   # (Yr, nb2*LP)
+            FD = mm(bysT, ACCDx)
+            OUT = mm(split(_lane_to_rows(FS, nb2, LP)), bsT_p) + mm(
+                split(_lane_to_rows(FD, nb2, LP)), bdT_p
+            )                                        # (nb2*Yr, Nx)
+            all_planes = [
+                [OUT[(c * n_pl + k) * Yr:(c * n_pl + k + 1) * Yr]
+                 for k in range(n_pl)]
+                for c in range(C)
+            ]
+        else:
+            all_planes = []
+            for c in range(C):
+                planes = []
+                for k in range(n_pl):
+                    aS = split(accS[c][k])
+                    aDy = split(accDy[c][k])
+                    aDx = split(accDx[c][k])
+                    fS = mm(bysT, aS) + mm(bydT, aDy)
+                    fD = mm(bysT, aDx)
+                    planes.append(mm(split(fS), bsT) + mm(split(fD), bdT))
+                all_planes.append(planes)
         for c in range(C):
-            planes = []
-            for k in range(n_pl):
-                aS = split(accS[c][k])
-                aDy = split(accDy[c][k])
-                aDx = split(accDx[c][k])
-                fS = mm(bysT, aS) + mm(bydT, aDy)
-                fD = mm(bysT, aDx)
-                planes.append(mm(split(fS), bsT) + mm(split(fD), bdT))
+            planes = all_planes[c]
             for k in range(1, P):
                 outA_ref[c, 0, k - 1] = planes[k]
             if P == 1:
@@ -935,6 +1037,10 @@ class StructuredSweep:
             else jax.default_backend() != "tpu"
         )
         self.prec_mode = prec_mode
+        # wide batching (3D): contract all (comp, plane) band matmuls in
+        # a handful of lane-concatenated wide matmuls (the kernel is
+        # MXU-issue-bound; see _make_kernel_3d fwd_wide)
+        self.wide = d == 3
         self._calls = {}
 
     # slab-plane z index in the class-grouped plane axis
@@ -961,9 +1067,10 @@ class StructuredSweep:
         # large-magnitude states) costs convergence, not speed
         prec = "full" if (flavor == "residual"
                           and self.prec_mode == "3x") else self.prec_mode
+        kw = {"wide": self.wide} if d == 3 else {}
         kernel = make(
             dict(d=d, P=P, NQ=NQ, nx=nx, ny=ny, C=C),
-            flavor, self.consider_dt, self.cell_wise, prec,
+            flavor, self.consider_dt, self.cell_wise, prec, **kw,
         )
 
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
