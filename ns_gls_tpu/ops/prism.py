@@ -45,7 +45,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ns_gls_tpu.ops.structured import _delta, _mm_tools, _physics
+from ns_gls_tpu.ops.structured import (
+    _delta,
+    _lane_cat,
+    _lane_to_rows,
+    _mm_tools,
+    _pad_rows_to,
+    _physics,
+)
 
 
 class PrismTables(NamedTuple):
@@ -82,8 +89,10 @@ def _pick_G(n_patches, Xr, NQ, mx, nz, Nzn, C, P) -> int:
     d = 3
     lane_p = -(-max(NQ * nz, Nzn) // 128) * 128
     # conservative live-array census (bases, accumulators, physics
-    # temporaries), calibrated on the observed ref-1 stack usage
-    n_live = int(1.4 * (C * (P + 1) * 9 + d * (P + 1) + NQ * (d + 1) + 45))
+    # temporaries), calibrated on the observed ref-1 stack usage; the
+    # +4*C*(P+1) term covers the wide-batching lane-concatenated
+    # temporaries (splits of the stacked tiles and restacks)
+    n_live = int(1.4 * (C * (P + 1) * 13 + d * (P + 1) + NQ * (d + 1) + 45))
     budget = 13 * 2**20
     rg_max = budget // (n_live * lane_p * 4)
     rg_max = max(8, rg_max // 8 * 8)
@@ -268,7 +277,8 @@ def build_prism_tables(op):
 # the kernel: grid over (patch group, patch-y layer); z and patch-x
 # contractions on the MXU, patch-y as (P+1)-term scalar-weighted sums
 # ---------------------------------------------------------------------------
-def _make_prism_kernel(dims, flavor, consider_dt, cell_wise, prec_mode):
+def _make_prism_kernel(dims, flavor, consider_dt, cell_wise, prec_mode,
+                       wide=False):
     d = 3
     P = dims["P"]
     NQ = dims["NQ"]
@@ -306,10 +316,11 @@ def _make_prism_kernel(dims, flavor, consider_dt, cell_wise, prec_mode):
             c1=scal_ref[3, 0], c2=scal_ref[4, 0],
         )
         split, mm = _mm_tools(prec_mode)
-        bzS = split(bzS_ref[:])
-        bzD = split(bzD_ref[:])
-        bzST = split(bzS_ref[:].T)
-        bzDT = split(bzD_ref[:].T)
+        if not wide:
+            bzS = split(bzS_ref[:])
+            bzD = split(bzD_ref[:])
+            bzST = split(bzS_ref[:].T)
+            bzDT = split(bzD_ref[:].T)
         bxS = split(bxS_ref[:])
         bxD = split(bxD_ref[:])
         bxST = split(bxST_ref[:])
@@ -321,7 +332,57 @@ def _make_prism_kernel(dims, flavor, consider_dt, cell_wise, prec_mode):
         h1 = h_ref[0, 0]
         hq = h_ref[1, 0]
 
-        def fwd(plane_refs, lead, grads):
+        # -- wide-batching geometry ------------------------------------
+        Nzn, L = bzS_ref.shape
+        RG, XrG = bxS_ref.shape
+        NznP = -(-Nzn // 128) * 128
+        LP = -(-L // 128) * 128
+
+        if wide:
+            bzS_p = split(_pad_rows_to(bzS_ref[:], NznP))    # (NznP, L)
+            bzD_p = split(_pad_rows_to(bzD_ref[:], NznP))
+            bzST_p = split(_pad_rows_to(bzS_ref[:].T, LP))   # (LP, Nzn)
+            bzDT_p = split(_pad_rows_to(bzD_ref[:].T, LP))
+
+        def fwd_wide(plane_refs, lead, grads):
+            """All (comp, plane) tiles in a handful of WIDE matmuls:
+            lane-concat the (XrG, Nzn) tiles at 128-aligned offsets,
+            apply the shared-left block-diagonal patch-x band once,
+            restack lanes to rows, then the shared-right z band once —
+            identical FLOPs to the per-(comp, plane) loop, ~nb fewer
+            MXU issues (the kernel is issue-latency-bound)."""
+            nb = lead * n_pl
+            tiles = [
+                plane_refs[k][c, 0] for c in range(lead)
+                for k in range(n_pl)
+            ]
+            Ts = split(_lane_cat(tiles, NznP))       # (XrG, nb*NznP)
+            X = mm(bxS, Ts)                          # (RG, nb*NznP)
+            RS = split(_lane_to_rows(X, nb, NznP))   # (nb*RG, NznP)
+            A_all = mm(RS, bzS_p)                    # (nb*RG, L)
+            A = [
+                [A_all[(c * n_pl + k) * RG:(c * n_pl + k + 1) * RG]
+                 for k in range(n_pl)]
+                for c in range(lead)
+            ]
+            B = Cg = None
+            if grads:
+                B_all = mm(RS, bzD_p)
+                Xd = mm(bxD, Ts)
+                C_all = mm(split(_lane_to_rows(Xd, nb, NznP)), bzS_p)
+                B = [
+                    [B_all[(c * n_pl + k) * RG:(c * n_pl + k + 1) * RG]
+                     for k in range(n_pl)]
+                    for c in range(lead)
+                ]
+                Cg = [
+                    [C_all[(c * n_pl + k) * RG:(c * n_pl + k + 1) * RG]
+                     for k in range(n_pl)]
+                    for c in range(lead)
+                ]
+            return A, B, Cg
+
+        def fwd_narrow(plane_refs, lead, grads):
             """Per (comp, plane): A = value base, B = z-ref-deriv base,
             Cg = x-ref-deriv base, all on (RG, L)."""
             A = [[None] * n_pl for _ in range(lead)]
@@ -336,6 +397,8 @@ def _make_prism_kernel(dims, flavor, consider_dt, cell_wise, prec_mode):
                         B[c][k] = mm(bxS, split(mm(t, bzD)))
                         Cg[c][k] = mm(bxD, tz)
             return A, B, Cg
+
+        fwd = fwd_wide if wide else fwd_narrow
 
         lead_ul = C if need_lin_grads else d
         UA, UB, UC = fwd(u_refs, C, True)
@@ -439,12 +502,39 @@ def _make_prism_kernel(dims, flavor, consider_dt, cell_wise, prec_mode):
 
         # adjoint folds: patch-x overlap-add via the transposed block band,
         # then z via the transposed z band
+        if wide:
+            nb2 = C * n_pl
+            ACCS = split(_lane_cat(
+                [accS[c][k] for c in range(C) for k in range(n_pl)], LP
+            ))
+            ACCDx = split(_lane_cat(
+                [accDx[c][k] for c in range(C) for k in range(n_pl)], LP
+            ))
+            ACCDz = split(_lane_cat(
+                [accDz[c][k] for c in range(C) for k in range(n_pl)], LP
+            ))
+            FS = mm(bxST, ACCS) + mm(bxDT, ACCDx)    # (XrG, nb2*LP)
+            FD = mm(bxST, ACCDz)
+            OUT = mm(split(_lane_to_rows(FS, nb2, LP)), bzST_p) + mm(
+                split(_lane_to_rows(FD, nb2, LP)), bzDT_p
+            )                                        # (nb2*XrG, Nzn)
+            all_planes = [
+                [OUT[(c * n_pl + k) * XrG:(c * n_pl + k + 1) * XrG]
+                 for k in range(n_pl)]
+                for c in range(C)
+            ]
+        else:
+            all_planes = []
+            for c in range(C):
+                planes = []
+                for k in range(n_pl):
+                    fS = (mm(bxST, split(accS[c][k]))
+                          + mm(bxDT, split(accDx[c][k])))
+                    fD = mm(bxST, split(accDz[c][k]))
+                    planes.append(mm(split(fS), bzST) + mm(split(fD), bzDT))
+                all_planes.append(planes)
         for c in range(C):
-            planes = []
-            for k in range(n_pl):
-                fS = mm(bxST, split(accS[c][k])) + mm(bxDT, split(accDx[c][k]))
-                fD = mm(bxST, split(accDz[c][k]))
-                planes.append(mm(split(fS), bzST) + mm(split(fD), bzDT))
+            planes = all_planes[c]
             for k in range(1, P):
                 outA_ref[c, 0, k - 1] = planes[k]
             if P == 1:
@@ -497,6 +587,12 @@ class PrismSweep:
             else jax.default_backend() != "tpu"
         )
         self.prec_mode = prec_mode
+        # wide batching: contract all (comp, plane) band matmuls in a
+        # handful of lane-concatenated wide matmuls (issue-bound kernel,
+        # same treatment as ops/structured.py's 3D fast path)
+        import os
+
+        self.wide = os.environ.get("NS_PRISM_WIDE", "1") != "0"
         self._calls = {}
 
     # plane index of local patch-y node k of layer s (class-grouped)
@@ -528,6 +624,7 @@ class PrismSweep:
         kernel = _make_prism_kernel(
             dict(P=P, NQ=NQ, mx=self.mx, nz=self.nz, G=self.G, C=C),
             flavor, self.consider_dt, self.cell_wise, prec,
+            wide=self.wide,
         )
 
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -280,6 +280,35 @@ def _delta(sc, h1, hq, usq_max, usq_q, cell_wise):
 
 
 
+def _pad_rows_to(a, n):
+    """Zero-pad a 2D array's row extent to n (for shared band operands
+    whose contraction axis was lane-padded on the other side)."""
+    return jnp.zeros((n, a.shape[1]), a.dtype).at[: a.shape[0]].set(a)
+
+
+def _lane_cat(tiles, w):
+    """Concatenate 2D tiles along lanes at 128-aligned offsets w."""
+    out = jnp.zeros((tiles[0].shape[0], len(tiles) * w), jnp.float32)
+    for j, t in enumerate(tiles):
+        out = jax.lax.dynamic_update_slice(out, t, (0, j * w))
+    return out
+
+
+def _lane_to_rows(big, nb, w):
+    """(r, nb*w) lane blocks -> (nb*r, w) row blocks (layout-preserving
+    tile copies; keeps wide-matmul outputs consumable by a second wide
+    matmul on the other axis)."""
+    r = big.shape[0]
+    out = jnp.zeros((nb * r, w), big.dtype)
+    for j in range(nb):
+        out = jax.lax.dynamic_update_slice(
+            out,
+            jax.lax.dynamic_slice(big, (0, j * w), (r, w)),
+            (j * r, 0),
+        )
+    return out
+
+
 def _mm_tools(mode: str):
     """In-kernel matmul tools at the requested accuracy/cost point.
 
@@ -382,31 +411,11 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
         NxP = -(-Nx // 128) * 128
         LP = -(-L // 128) * 128
 
-        def _pad_rows_k(a, n):
-            return jnp.zeros((n, a.shape[1]), a.dtype).at[: a.shape[0]].set(a)
-
-        def _lane_cat(tiles, w):
-            out = jnp.zeros((tiles[0].shape[0], len(tiles) * w), jnp.float32)
-            for j, t in enumerate(tiles):
-                out = jax.lax.dynamic_update_slice(out, t, (0, j * w))
-            return out
-
-        def _lane_to_rows(big, nb, w):
-            r = big.shape[0]
-            out = jnp.zeros((nb * r, w), big.dtype)
-            for j in range(nb):
-                out = jax.lax.dynamic_update_slice(
-                    out,
-                    jax.lax.dynamic_slice(big, (0, j * w), (r, w)),
-                    (j * r, 0),
-                )
-            return out
-
         if wide:
-            bs_p = split(_pad_rows_k(bs_ref[:], NxP))     # (NxP, L)
-            bd_p = split(_pad_rows_k(bd_ref[:], NxP))
-            bsT_p = split(_pad_rows_k(bs_ref[:].T, LP))   # (LP, Nx)
-            bdT_p = split(_pad_rows_k(bd_ref[:].T, LP))
+            bs_p = split(_pad_rows_to(bs_ref[:], NxP))     # (NxP, L)
+            bd_p = split(_pad_rows_to(bd_ref[:], NxP))
+            bsT_p = split(_pad_rows_to(bs_ref[:].T, LP))   # (LP, Nx)
+            bdT_p = split(_pad_rows_to(bd_ref[:].T, LP))
 
         def fwd_wide(plane_refs, lead, grads):
             """All (comp, plane) tiles contracted in a handful of WIDE

@@ -107,6 +107,23 @@ def test_prism_turek3d():
     check(mesh, 1, True, True)
 
 
+def test_prism_wide_narrow_parity(monkeypatch):
+    """The wide-batched MXU contraction schedule must reproduce the
+    per-(comp, plane) narrow schedule (both contract identical
+    operands; only the issue grouping differs)."""
+    mesh = prism_mesh(1)
+    (_, op_wide), space, u = make_pair(mesh, 1, True, True)
+    assert op_wide._psweep.wide
+    monkeypatch.setenv("NS_PRISM_WIDE", "0")
+    (_, op_narrow), _, _ = make_pair(mesh, 1, True, True)
+    assert not op_narrow._psweep.wide
+    rng = np.random.default_rng(2)
+    v = jnp.asarray(rng.standard_normal(u.shape), jnp.float32)
+    a = np.asarray(op_narrow.vmult(v))
+    b = np.asarray(op_wide.vmult(v))
+    assert np.abs(a - b).max() <= 2e-6 * np.abs(a).max()
+
+
 def test_prism_gates():
     """Unsupported configurations must fall back (tables builder -> None)."""
     mesh = prism_mesh(0)
