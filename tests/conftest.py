@@ -28,3 +28,16 @@ jax.config.update(
     f"/tmp/jax_cache_tests_{jax.default_backend()}",
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """Free compiled executables between test modules: every loaded XLA
+    CPU executable holds JIT code mappings, and a full-suite process
+    accumulates enough to exhaust vm.max_map_count (default 65530) —
+    observed as a segfault inside compile/cache-load ~45 tests in. The
+    persistent disk cache makes the re-loads cheap."""
+    yield
+    jax.clear_caches()
