@@ -21,8 +21,9 @@ def main():
         f"/tmp/jax_cache_bench_{jax.default_backend()}",
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    n_ref = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_ref = int(args[0]) if len(args) > 0 else 2
+    n_steps = int(args[1]) if len(args) > 1 else 3
 
     from ns_gls_tpu.config import Parameters
     from ns_gls_tpu.driver import Driver
@@ -99,6 +100,9 @@ def main():
             }
         )
     )
+    if "--timers" in sys.argv:
+        # per-phase scope table (stderr keeps the JSON line clean)
+        print(get_collection().table(), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -195,13 +195,29 @@ class PreconditionerGMG:
                 )
             return res.x
 
+        # single-device V-cycle vectors are FLAT (n_l*C,): the TPU (8,128)
+        # tiling pads the minor C=4 axis of (N, 4) arrays ~7x per
+        # elementwise pass, and the smoother update is a fused elementwise
+        # op over 5 vector streams — flat layout streams it unpadded.
+        # Reshapes appear only at operator/transfer boundaries, where XLA
+        # folds them into the transposes those kernels already perform.
+        # The distributed path keeps its (n_dev, n_own, C) layout.
+        lvl_shapes = tuple((op.n_nodes, C) for op in level_ops)
+
         def smooth(args, level, x, b):
             inv_d = args.inv_diags[level]
             om = args.omegas[level]
             la = args.level_args[level]
+            if distributed:
+                def body(_, x):
+                    return x + om * inv_d * (b - level_fns[level](la, x))
+            else:
+                shp = lvl_shapes[level]
+                inv_df = inv_d.reshape(-1)
 
-            def body(_, x):
-                return x + om * inv_d * (b - level_fns[level](la, x))
+                def body(_, x):
+                    Av = level_fns[level](la, x.reshape(shp)).reshape(-1)
+                    return x + om * inv_df * (b - Av)
 
             # rolled loop keeps the HLO small (the V-cycle is inlined into
             # the jitted GMRES; unrolled sweeps blow up remote compile)
@@ -209,23 +225,40 @@ class PreconditionerGMG:
 
         def vcycle_level(args, level, b):
             if level == 0:
-                return coarse_solve(args, b)
+                if distributed:
+                    return coarse_solve(args, b)
+                return coarse_solve(
+                    args, b.reshape(lvl_shapes[0])
+                ).reshape(-1)
             # pre-smooth from zero initial guess
             x = smooth(args, level, jnp.zeros_like(b), b)
-            d = b - level_fns[level](args.level_args[level], x)
             if distributed:
+                d = b - level_fns[level](args.level_args[level], x)
                 d_c = res_fns[level - 1](args.transfers[level - 1], d)
                 x_c = vcycle_level(args, level - 1, d_c)
                 x = x + pro_fns[level - 1](args.transfers[level - 1], x_c)
             else:
-                d_c = tr.restrict(args.transfers[level - 1], d)
+                shp = lvl_shapes[level]
+                d = b - level_fns[level](
+                    args.level_args[level], x.reshape(shp)
+                ).reshape(-1)
+                d_c = tr.restrict(
+                    args.transfers[level - 1], d.reshape(shp)
+                ).reshape(-1)
                 x_c = vcycle_level(args, level - 1, d_c)
-                x = x + tr.prolongate(args.transfers[level - 1], x_c)
+                x = x + tr.prolongate(
+                    args.transfers[level - 1],
+                    x_c.reshape(lvl_shapes[level - 1]),
+                ).reshape(-1)
             return smooth(args, level, x, b)
 
         def vmult_fn(args: GMGArgs, src):
             b = src.astype(mgdt)
+            if not distributed:
+                b = b.reshape(-1)
             x = vcycle_level(args, n_levels - 1, b)
+            if not distributed:
+                x = x.reshape(src.shape)
             return x.astype(src.dtype)
 
         self.vmult_pure = vmult_fn

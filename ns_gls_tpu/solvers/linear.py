@@ -100,11 +100,13 @@ def gmres(
         # preconditioner is noisy (e.g. the f32 MG V-cycle) and the Givens
         # recursion under-estimates; a stagnation guard stops restarts that
         # no longer reduce the true residual.
-        x, total_it, prev_beta, _ = carry
+        x, V, total_it, prev_beta, _ = carry
         r = bf - mv(x)
         beta = acc_norm(r)
 
-        V = jnp.zeros((m + 1, n), dtype)
+        # V rides the outer carry: rows are always written before read
+        # (bounded by this cycle's j), so no per-cycle re-zeroing of the
+        # (m+1, n) basis
         H = jnp.zeros((m + 1, m), dtype)
         cs = jnp.zeros(m, dtype)
         sn = jnp.zeros(m, dtype)
@@ -115,28 +117,29 @@ def gmres(
             V, H, cs, sn, g, j, _ = carry
             w = mv(pc(V[j]))
 
-            # modified Gram-Schmidt, masked to k <= j
+            # modified Gram-Schmidt over k <= j (dynamic trip count: the
+            # static-bound variant read all m+1 basis rows every step —
+            # ~3x the Krylov memory traffic at typical iteration counts)
             def mgs(k, wh):
                 w, hcol = wh
-                hk = jnp.where(k <= j, acc_dot(V[k], w), 0.0)
+                hk = acc_dot(V[k], w)
                 return (w - hk * V[k], hcol.at[k].set(hk))
 
             w, hcol = jax.lax.fori_loop(
-                0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype))
+                0, j + 1, mgs, (w, jnp.zeros(m + 1, dtype))
             )
             hj1 = acc_norm(w)
             V = V.at[j + 1].set(jnp.where(hj1 > 0, w / hj1, 0.0))
             hcol = hcol.at[j + 1].set(hj1)
 
-            # previous Givens rotations on entries 0..j
+            # previous Givens rotations on entries 0..j (scalar work)
             def rot(k, hc):
                 t0 = cs[k] * hc[k] + sn[k] * hc[k + 1]
                 t1 = -sn[k] * hc[k] + cs[k] * hc[k + 1]
-                apply = k < j
-                hc = hc.at[k].set(jnp.where(apply, t0, hc[k]))
-                return hc.at[k + 1].set(jnp.where(apply, t1, hc[k + 1]))
+                hc = hc.at[k].set(t0)
+                return hc.at[k + 1].set(t1)
 
-            hcol = jax.lax.fori_loop(0, m, rot, hcol)
+            hcol = jax.lax.fori_loop(0, j, rot, hcol)
 
             # new rotation eliminating hcol[j+1]
             denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
@@ -168,20 +171,29 @@ def gmres(
             jnp.where(mask, 0.0, 1.0)
         )
         y = jax.scipy.linalg.solve_triangular(Hm, jnp.where(mask, g[:m], 0.0))
-        dx = pc(jnp.einsum("i,in->n", jnp.where(mask, y, 0.0), V[:m]))
+        ym = jnp.where(mask, y, 0.0)
+        # dynamic-bound accumulation: only the j_final basis rows that
+        # carry weight are read (the masked einsum read all m rows)
+        z = jax.lax.fori_loop(
+            0, j_final,
+            lambda i, acc: acc + ym[i] * V[i],
+            jnp.zeros(n, dtype),
+        )
+        dx = pc(z)
 
         converged = beta <= tol
         stagnated = (beta > 0.999 * prev_beta) & (total_it > 0)
-        return (x + dx, total_it + j_final, beta, converged | stagnated)
+        return (x + dx, V, total_it + j_final, beta, converged | stagnated)
 
     def outer_cond(carry):
-        _, total_it, _, done = carry
+        _, _, total_it, _, done = carry
         return (~done) & (total_it < m * max_restarts)
 
     x0f = x0.reshape(-1)
     inf = jnp.asarray(jnp.inf, dtype)
-    x, it, _, _ = jax.lax.while_loop(
-        outer_cond, cycle, (x0f, jnp.array(0), inf, jnp.array(False))
+    V0 = jnp.zeros((m + 1, n), dtype)
+    x, _, it, _, _ = jax.lax.while_loop(
+        outer_cond, cycle, (x0f, V0, jnp.array(0), inf, jnp.array(False))
     )
     # final true residual for honest reporting
     res_final = acc_norm(bf - mv(x))
