@@ -364,6 +364,7 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
     nx = dims["nx"]
     ny = dims["ny"]
     C = dims["C"]
+    diag = dims.get("diag", False)
     need_lin_grads = flavor == "increment"
     need_dt_old = consider_dt and flavor in ("increment", "residual")
     n_pl = P + 1
@@ -523,6 +524,13 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
             dz = [zsum(UA[c], qz, d1t_ref) for c in range(C)]
 
             def to_phys(gref):
+                # diagonal-J lattices (any subdivided-rectangle mesh,
+                # incl. the benchmark hypercube): the off-diagonal jinv
+                # tiles are structurally zero — 1 multiply per direction
+                # instead of a 3-term FMA chain (the kernel's q-point
+                # phase is VPU-ALU-bound)
+                if diag:
+                    return [gref[x] * jinvL[x * d + x] for x in range(d)]
                 return [
                     sum(gref[r] * jinvL[r * d + x] for r in range(d))
                     for x in range(d)
@@ -553,11 +561,17 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
             jxw_t = jxw_ref[qz, 0]
             for c in range(C):
                 w_val = val_res[c] * jxw_t
-                gref = [
-                    sum(grad_res[c][x] * jinvL[r * d + x]
-                        for x in range(d)) * jxw_t
-                    for r in range(d)
-                ]
+                if diag:
+                    gref = [
+                        grad_res[c][r] * jinvL[r * d + r] * jxw_t
+                        for r in range(d)
+                    ]
+                else:
+                    gref = [
+                        sum(grad_res[c][x] * jinvL[r * d + x]
+                            for x in range(d)) * jxw_t
+                        for r in range(d)
+                    ]
                 for k in range(n_pl):
                     sz = s1_ref[qz, k]
                     dzw = d1t_ref[qz, k]
@@ -850,6 +864,7 @@ def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec_mode):
     NQ = dims["NQ"]
     nx = dims["nx"]
     C = dims["C"]
+    diag = dims.get("diag", False)
     need_lin_grads = flavor == "increment"
     need_dt_old = consider_dt and flavor in ("increment", "residual")
     n_pl = P + 1
@@ -940,6 +955,8 @@ def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec_mode):
             ]
 
             def to_phys(gref):
+                if diag:
+                    return [gref[x] * jinvL[x * d + x] for x in range(d)]
                 return [
                     sum(gref[r] * jinvL[r * d + x] for r in range(d))
                     for x in range(d)
@@ -971,11 +988,17 @@ def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec_mode):
             jxw_t = jxw_ref[qy, 0]
             for c in range(C):
                 w_val = val_res[c] * jxw_t
-                gref = [
-                    sum(grad_res[c][x] * jinvL[r * d + x]
-                        for x in range(d)) * jxw_t
-                    for r in range(d)
-                ]
+                if diag:
+                    gref = [
+                        grad_res[c][r] * jinvL[r * d + r] * jxw_t
+                        for r in range(d)
+                    ]
+                else:
+                    gref = [
+                        sum(grad_res[c][x] * jinvL[r * d + x]
+                            for x in range(d)) * jxw_t
+                        for r in range(d)
+                    ]
                 for k in range(n_pl):
                     sy = s1_ref[qy, k]
                     dyw = d1t_ref[qy, k]
@@ -1050,6 +1073,18 @@ class StructuredSweep:
         # a handful of lane-concatenated wide matmuls (the kernel is
         # MXU-issue-bound; see _make_kernel_3d fwd_wide)
         self.wide = d == 3
+        # diagonal-Jacobian lattice (any subdivided-rectangle mesh):
+        # compile the kernels without the off-diagonal jinv terms.
+        # Sharded local views may not expose jinv — stay general there.
+        ji = getattr(space, "jinv", None)
+        if ji is not None:
+            ji = np.asarray(ji)[:, 0]                    # (n_c, d, d)
+            off = ji * (1.0 - np.eye(d))
+            self.diag_geom = bool(
+                np.abs(off).max() <= 1e-14 * np.abs(ji).max()
+            )
+        else:
+            self.diag_geom = False
         self._calls = {}
 
     # slab-plane z index in the class-grouped plane axis
@@ -1078,7 +1113,7 @@ class StructuredSweep:
                           and self.prec_mode == "3x") else self.prec_mode
         kw = {"wide": self.wide} if d == 3 else {}
         kernel = make(
-            dict(d=d, P=P, NQ=NQ, nx=nx, ny=ny, C=C),
+            dict(d=d, P=P, NQ=NQ, nx=nx, ny=ny, C=C, diag=self.diag_geom),
             flavor, self.consider_dt, self.cell_wise, prec, **kw,
         )
 

@@ -7,6 +7,8 @@ so roundoff-level agreement here closes the chain
 structured-Pallas == reference ``do_vmult_cell`` (operator_ns.cc:949-1182).
 """
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -18,13 +20,20 @@ from ns_gls_tpu.ops.navier_stokes import NavierStokesOperator
 from ns_gls_tpu.ops.time_integration import BDFIntegrator, SolutionHistory
 
 
-def make_pair(dim, degree, increment, cell_wise):
+def make_pair(dim, degree, increment, cell_wise, shear=0.0):
     mesh = subdivided_hyper_rectangle(
         (3, 2) + ((2,) if dim == 3 else ()),
         (0.0,) * dim,
         (1.2, 1.0) + ((0.8,) if dim == 3 else ()),
         colorize=True,
     )
+    if shear:
+        # sheared parallelogram lattice: still structured/affine, but the
+        # Jacobian picks up off-diagonal entries (covers the non-diagonal
+        # geometry branch of the Pallas kernels)
+        v = mesh.vertices.copy()
+        v[:, 0] = v[:, 0] + shear * v[:, 1]
+        mesh = dataclasses.replace(mesh, vertices=v)
     space = FESpace(mesh, degree)
     assert space.structured
     C = dim + 1
@@ -64,8 +73,10 @@ def make_pair(dim, degree, increment, cell_wise):
     return ops, space, u
 
 
-def check(dim, degree, increment, cell_wise, tol=5e-6):
-    (op_g, op_s), space, u = make_pair(dim, degree, increment, cell_wise)
+def check(dim, degree, increment, cell_wise, tol=5e-6, shear=0.0):
+    (op_g, op_s), space, u = make_pair(dim, degree, increment, cell_wise,
+                                       shear=shear)
+    assert op_s._ssweep.diag_geom == (shear == 0.0)
     rng = np.random.default_rng(1)
     v = jnp.asarray(rng.standard_normal(u.shape), jnp.float32)
     a = np.asarray(op_g.vmult(v))
@@ -94,6 +105,13 @@ def test_structured_3d_q1(increment, cell_wise):
 @pytest.mark.parametrize("increment", [False, True])
 def test_structured_3d_q2(increment):
     check(3, 2, increment, True)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_structured_sheared(dim):
+    """Non-diagonal affine lattice (sheared): exercises the full
+    jinv contraction branch of the kernels."""
+    check(dim, 1, True, True, shear=0.35)
 
 
 def test_structured_gates():
