@@ -1083,8 +1083,22 @@ class StructuredSweep:
             self.diag_geom = bool(
                 np.abs(off).max() <= 1e-14 * np.abs(ji).max()
             )
+            # uniform lattice (every cell identical — subdivided
+            # hyper-rectangles): the jinv/jxw/h cell tables collapse to
+            # (.., 1, 1, 1) windows that broadcast in-kernel — no
+            # per-slab table DMA, scalar-operand VPU ops
+            jxw = np.asarray(space.jxw)
+            hmv = np.asarray(space.cell_h_min_vertex)
+            cms = np.asarray(space.cell_measure)
+            self.uniform_geom = bool(
+                np.abs(ji - ji[:1]).max() <= 1e-14 * np.abs(ji).max()
+                and np.abs(jxw - jxw[:1]).max() <= 1e-14 * jxw.max()
+                and np.abs(hmv - hmv[0]).max() <= 1e-14 * hmv.max()
+                and np.abs(cms - cms[0]).max() <= 1e-14 * cms.max()
+            )
         else:
             self.diag_geom = False
+            self.uniform_geom = False
         self._calls = {}
 
     # slab-plane z index in the class-grouped plane axis
@@ -1120,7 +1134,15 @@ class StructuredSweep:
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
         vmem_full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-        def cell_spec(lead):
+        def cell_spec(lead, q_constant=True):
+            # uniform lattices shrink the q-constant tables (jinv, h) to
+            # broadcastable (lead, 1, 1, 1) windows; jxw keeps its tile
+            # extent (its lanes/rows encode the per-q-point weights)
+            if self.uniform_geom and q_constant:
+                return pl.BlockSpec(
+                    (lead, 1, 1, 1), lambda s: (0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
             return pl.BlockSpec(
                 (lead, 1, R, L), lambda s: (0, s, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -1137,7 +1159,8 @@ class StructuredSweep:
             [smem(), smem(), smem(), vmem_full(), vmem_full(),
              vmem_full(), vmem_full(),
              vmem_full(), vmem_full(), vmem_full(), vmem_full(),
-             cell_spec(d * d), cell_spec(NQ), cell_spec(2)]
+             cell_spec(d * d), cell_spec(NQ, q_constant=False),
+             cell_spec(2)]
             + [plane_spec(C, k) for k in range(n_pl)]
             + [plane_spec(C, k) for k in range(n_pl)]
             + [plane_spec(d, k) for k in range(n_pl)]
@@ -1181,11 +1204,16 @@ class StructuredSweep:
              jnp.float32(self.c2), jnp.float32(0.0), jnp.float32(0.0),
              jnp.float32(0.0)]
         ).reshape(8, 1)
+        if self.uniform_geom:
+            cell_tabs = [tables.jinv[:, :1, :1, :1], tables.jxw,
+                         tables.h[:, :1, :1, :1]]
+        else:
+            cell_tabs = [tables.jinv, tables.jxw, tables.h]
         args = (
             [scal, tables.S1, tables.D1, tables.band_S, tables.band_D,
              tables.band_Sy, tables.band_Dy]
             + list(tables.bdy)
-            + [tables.jinv, tables.jxw, tables.h]
+            + cell_tabs
             + [uT] * n_pl + [ulT] * n_pl + [voT] * n_pl
         )
         outA, outB = self.call(flavor)(*args)
