@@ -902,14 +902,30 @@ def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec_mode):
         hq = h_ref[1, 0]
 
         def fwd(plane_refs, lead, grads):
-            S = [[None] * n_pl for _ in range(lead)]
-            D = [[None] * n_pl for _ in range(lead)] if grads else None
-            for c in range(lead):
-                for k in range(n_pl):
-                    t = split(plane_refs[k][c, 0])
-                    S[c][k] = mm(t, bs)
-                    if grads:
-                        D[c][k] = mm(t, bd)
+            """Row-stack all (comp, plane) single-row tiles and contract
+            the shared-right x band ONCE: the per-tile loop issued
+            lead*(P+1) one-row MXU matmuls (1/8 sublane utilization);
+            the stacked form is one (nb, Nx) x (Nx, L) matmul."""
+            nb = lead * n_pl
+            T_all = split(jnp.concatenate(
+                [plane_refs[k][c, 0] for c in range(lead)
+                 for k in range(n_pl)],
+                axis=0,
+            ))                                    # (nb, Nx)
+            S_all = mm(T_all, bs)                 # (nb, L)
+            S = [
+                [S_all[(c * n_pl + k):(c * n_pl + k) + 1]
+                 for k in range(n_pl)]
+                for c in range(lead)
+            ]
+            D = None
+            if grads:
+                D_all = mm(T_all, bd)
+                D = [
+                    [D_all[(c * n_pl + k):(c * n_pl + k) + 1]
+                     for k in range(n_pl)]
+                    for c in range(lead)
+                ]
             return S, D
 
         US, UD = fwd(u_refs, C, True)
@@ -1007,12 +1023,19 @@ def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec_mode):
                     accS[c][k] = tS if accS[c][k] is None else accS[c][k] + tS
                     accD[c][k] = tD if accD[c][k] is None else accD[c][k] + tD
 
+        # adjoint: row-stacked transposed-band matmuls (one per band)
+        nb2 = C * n_pl
+        ACCS = split(jnp.concatenate(
+            [accS[c][k] for c in range(C) for k in range(n_pl)], axis=0
+        ))                                        # (nb2, L)
+        ACCD = split(jnp.concatenate(
+            [accD[c][k] for c in range(C) for k in range(n_pl)], axis=0
+        ))
+        OUT = mm(ACCS, bsT) + mm(ACCD, bdT)       # (nb2, Nx)
         for c in range(C):
-            planes = []
-            for k in range(n_pl):
-                planes.append(
-                    mm(split(accS[c][k]), bsT) + mm(split(accD[c][k]), bdT)
-                )
+            planes = [
+                OUT[(c * n_pl + k):(c * n_pl + k) + 1] for k in range(n_pl)
+            ]
             for k in range(1, P):
                 outA_ref[c, 0, k - 1] = planes[k]
             if P == 1:
