@@ -47,11 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ns_gls_tpu.ops.structured import (
     _delta,
-    _lane_cat,
-    _lane_to_rows,
     _mm_tools,
     _pad_rows_to,
     _physics,
+    _wide_adjoint,
+    _wide_fwd,
 )
 
 
@@ -90,9 +90,13 @@ def _pick_G(n_patches, Xr, NQ, mx, nz, Nzn, C, P) -> int:
     lane_p = -(-max(NQ * nz, Nzn) // 128) * 128
     # conservative live-array census (bases, accumulators, physics
     # temporaries), calibrated on the observed ref-1 stack usage; the
-    # +4*C*(P+1) term covers the wide-batching lane-concatenated
-    # temporaries (splits of the stacked tiles and restacks)
-    n_live = int(1.4 * (C * (P + 1) * 13 + d * (P + 1) + NQ * (d + 1) + 45))
+    # wide-batching schedule keeps ~4 extra lane-concatenated
+    # temporaries per (comp, plane) live (stacked-tile splits, restacks)
+    wide = os.environ.get("NS_PRISM_WIDE", "1") != "0"
+    per_ck = 13 if wide else 9
+    n_live = int(
+        1.4 * (C * (P + 1) * per_ck + d * (P + 1) + NQ * (d + 1) + 45)
+    )
     budget = 13 * 2**20
     rg_max = budget // (n_live * lane_p * 4)
     rg_max = max(8, rg_max // 8 * 8)
@@ -345,42 +349,15 @@ def _make_prism_kernel(dims, flavor, consider_dt, cell_wise, prec_mode,
             bzDT_p = split(_pad_rows_to(bzD_ref[:].T, LP))
 
         def fwd_wide(plane_refs, lead, grads):
-            """All (comp, plane) tiles in a handful of WIDE matmuls:
-            lane-concat the (XrG, Nzn) tiles at 128-aligned offsets,
-            apply the shared-left block-diagonal patch-x band once,
-            restack lanes to rows, then the shared-right z band once —
-            identical FLOPs to the per-(comp, plane) loop, ~nb fewer
-            MXU issues (the kernel is issue-latency-bound)."""
-            nb = lead * n_pl
+            """Wide-batched forward (see structured._wide_fwd): the
+            block-diagonal patch-x band shared-left, the z band
+            shared-right, all (comp, plane) (XrG, Nzn) tiles at once."""
             tiles = [
                 plane_refs[k][c, 0] for c in range(lead)
                 for k in range(n_pl)
             ]
-            Ts = split(_lane_cat(tiles, NznP))       # (XrG, nb*NznP)
-            X = mm(bxS, Ts)                          # (RG, nb*NznP)
-            RS = split(_lane_to_rows(X, nb, NznP))   # (nb*RG, NznP)
-            A_all = mm(RS, bzS_p)                    # (nb*RG, L)
-            A = [
-                [A_all[(c * n_pl + k) * RG:(c * n_pl + k + 1) * RG]
-                 for k in range(n_pl)]
-                for c in range(lead)
-            ]
-            B = Cg = None
-            if grads:
-                B_all = mm(RS, bzD_p)
-                Xd = mm(bxD, Ts)
-                C_all = mm(split(_lane_to_rows(Xd, nb, NznP)), bzS_p)
-                B = [
-                    [B_all[(c * n_pl + k) * RG:(c * n_pl + k + 1) * RG]
-                     for k in range(n_pl)]
-                    for c in range(lead)
-                ]
-                Cg = [
-                    [C_all[(c * n_pl + k) * RG:(c * n_pl + k + 1) * RG]
-                     for k in range(n_pl)]
-                    for c in range(lead)
-                ]
-            return A, B, Cg
+            return _wide_fwd(tiles, lead, n_pl, NznP, bxS, bxD,
+                             bzS_p, bzD_p, grads, split, mm, RG)
 
         def fwd_narrow(plane_refs, lead, grads):
             """Per (comp, plane): A = value base, B = z-ref-deriv base,
@@ -503,26 +480,10 @@ def _make_prism_kernel(dims, flavor, consider_dt, cell_wise, prec_mode,
         # adjoint folds: patch-x overlap-add via the transposed block band,
         # then z via the transposed z band
         if wide:
-            nb2 = C * n_pl
-            ACCS = split(_lane_cat(
-                [accS[c][k] for c in range(C) for k in range(n_pl)], LP
-            ))
-            ACCDx = split(_lane_cat(
-                [accDx[c][k] for c in range(C) for k in range(n_pl)], LP
-            ))
-            ACCDz = split(_lane_cat(
-                [accDz[c][k] for c in range(C) for k in range(n_pl)], LP
-            ))
-            FS = mm(bxST, ACCS) + mm(bxDT, ACCDx)    # (XrG, nb2*LP)
-            FD = mm(bxST, ACCDz)
-            OUT = mm(split(_lane_to_rows(FS, nb2, LP)), bzST_p) + mm(
-                split(_lane_to_rows(FD, nb2, LP)), bzDT_p
-            )                                        # (nb2*XrG, Nzn)
-            all_planes = [
-                [OUT[(c * n_pl + k) * XrG:(c * n_pl + k + 1) * XrG]
-                 for k in range(n_pl)]
-                for c in range(C)
-            ]
+            all_planes = _wide_adjoint(
+                accS, accDx, accDz, C, n_pl, LP, bxST, bxDT,
+                bzST_p, bzDT_p, split, mm, XrG,
+            )
         else:
             all_planes = []
             for c in range(C):

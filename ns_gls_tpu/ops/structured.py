@@ -309,6 +309,58 @@ def _lane_to_rows(big, nb, w):
     return out
 
 
+def _unstack_rows(M, lead, n_pl, blk):
+    """(lead*n_pl*blk, L) row blocks -> [comp][plane] (blk, L) slices."""
+    return [
+        [M[(c * n_pl + k) * blk:(c * n_pl + k + 1) * blk]
+         for k in range(n_pl)]
+        for c in range(lead)
+    ]
+
+
+def _wide_fwd(tiles, lead, n_pl, w, l1, l2, r1, r2, grads, split, mm, blk):
+    """Shared wide-batching forward schedule (structured 3D + prism):
+    lane-concat all (comp, plane) tiles at 128-aligned offsets w, apply
+    the shared-LEFT band once, restack lanes to rows (layout-preserving
+    tile copies), then each shared-RIGHT band once — identical FLOPs to
+    the per-(comp, plane) loop, ~lead*n_pl fewer MXU issues (the kernels
+    are issue-latency-bound).
+
+    Returns (A, B, Cg): A = (l1, r1) base, B = (l1, r2), Cg = (l2, r1),
+    each as [comp][plane] (blk, L) row slices; B/Cg None unless grads."""
+    nb = lead * n_pl
+    Ts = split(_lane_cat(tiles, w))
+    X1 = mm(l1, Ts)
+    RS = split(_lane_to_rows(X1, nb, w))
+    A = _unstack_rows(mm(RS, r1), lead, n_pl, blk)
+    if not grads:
+        return A, None, None
+    B = _unstack_rows(mm(RS, r2), lead, n_pl, blk)
+    X2 = mm(l2, Ts)
+    Cg = _unstack_rows(
+        mm(split(_lane_to_rows(X2, nb, w)), r1), lead, n_pl, blk
+    )
+    return A, B, Cg
+
+
+def _wide_adjoint(acc_a, acc_b, acc_c, C, n_pl, w, l1T, l2T, r1T, r2T,
+                  split, mm, blk):
+    """Shared wide-batching adjoint fold: the transposed-band overlap-add
+    of the accumulators, as two wide matmuls per band pair.
+    acc_a/acc_b fold through (l1T, l2T) into the r1T band; acc_c folds
+    through l1T into the r2T band. Returns [comp][plane] (blk, Nn)."""
+    nb2 = C * n_pl
+    cat = lambda acc: split(_lane_cat(
+        [acc[c][k] for c in range(C) for k in range(n_pl)], w
+    ))
+    FS = mm(l1T, cat(acc_a)) + mm(l2T, cat(acc_b))
+    FD = mm(l1T, cat(acc_c))
+    OUT = mm(split(_lane_to_rows(FS, nb2, w)), r1T) + mm(
+        split(_lane_to_rows(FD, nb2, w)), r2T
+    )
+    return _unstack_rows(OUT, C, n_pl, blk)
+
+
 def _mm_tools(mode: str):
     """In-kernel matmul tools at the requested accuracy/cost point.
 
@@ -419,45 +471,16 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
             bdT_p = split(_pad_rows_to(bd_ref[:].T, LP))
 
         def fwd_wide(plane_refs, lead, grads):
-            """All (comp, plane) tiles contracted in a handful of WIDE
-            matmuls: lane-concat the plane tiles at 128-aligned offsets,
-            apply the shared-left y band once ((bys|byd)·T), re-stack the
-            lane blocks as rows (layout-preserving tile copies), then the
-            shared-right x band once (·bs/bd).  Same FLOPs as the
-            per-(comp, plane) loop but ~10x fewer MXU issues — the
-            kernel was issue-latency-bound, and unlike the block-
-            diagonal batching (kept below, measured slower) this wastes
-            no multiplies on structural zeros."""
-            nb = lead * n_pl
+            """Wide-batched forward (see _wide_fwd): y band shared-left,
+            x band shared-right, all (comp, plane) tiles at once; unlike
+            the block-diagonal batching (kept below, measured slower)
+            this wastes no multiplies on structural zeros."""
             tiles = [
                 plane_refs[k][c, 0] for c in range(lead)
                 for k in range(n_pl)
             ]
-            Ts = split(_lane_cat(tiles, NxP))      # (Yr, nb*NxP)
-            Y = mm(bys, Ts)                        # (Q, nb*NxP)
-            RSY = split(_lane_to_rows(Y, nb, NxP))  # (nb*Q, NxP)
-            A_all = mm(RSY, bs_p)                  # (nb*Q, L)
-            A = [
-                [A_all[(c * n_pl + k) * Q:(c * n_pl + k + 1) * Q]
-                 for k in range(n_pl)]
-                for c in range(lead)
-            ]
-            B = Cg = None
-            if grads:
-                B_all = mm(RSY, bd_p)
-                Yd = mm(byd, Ts)
-                C_all = mm(split(_lane_to_rows(Yd, nb, NxP)), bs_p)
-                B = [
-                    [B_all[(c * n_pl + k) * Q:(c * n_pl + k + 1) * Q]
-                     for k in range(n_pl)]
-                    for c in range(lead)
-                ]
-                Cg = [
-                    [C_all[(c * n_pl + k) * Q:(c * n_pl + k + 1) * Q]
-                     for k in range(n_pl)]
-                    for c in range(lead)
-                ]
-            return A, B, Cg
+            return _wide_fwd(tiles, lead, n_pl, NxP, bys, byd, bs_p, bd_p,
+                             grads, split, mm, Q)
 
         def fwd_narrow(plane_refs, lead, grads):
             """Per (comp, plane) xy-banded tensors on (NQ*ny, L):
@@ -587,26 +610,10 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
         # adjoint folds: y overlap-add via the transposed band matmul,
         # then x via the transposed x band
         if wide:
-            nb2 = C * n_pl
-            ACCS = split(_lane_cat(
-                [accS[c][k] for c in range(C) for k in range(n_pl)], LP
-            ))
-            ACCDy = split(_lane_cat(
-                [accDy[c][k] for c in range(C) for k in range(n_pl)], LP
-            ))
-            ACCDx = split(_lane_cat(
-                [accDx[c][k] for c in range(C) for k in range(n_pl)], LP
-            ))
-            FS = mm(bysT, ACCS) + mm(bydT, ACCDy)   # (Yr, nb2*LP)
-            FD = mm(bysT, ACCDx)
-            OUT = mm(split(_lane_to_rows(FS, nb2, LP)), bsT_p) + mm(
-                split(_lane_to_rows(FD, nb2, LP)), bdT_p
-            )                                        # (nb2*Yr, Nx)
-            all_planes = [
-                [OUT[(c * n_pl + k) * Yr:(c * n_pl + k + 1) * Yr]
-                 for k in range(n_pl)]
-                for c in range(C)
-            ]
+            all_planes = _wide_adjoint(
+                accS, accDy, accDx, C, n_pl, LP, bysT, bydT, bsT_p, bdT_p,
+                split, mm, Yr,
+            )
         else:
             all_planes = []
             for c in range(C):

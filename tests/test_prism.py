@@ -112,6 +112,7 @@ def test_prism_wide_narrow_parity(monkeypatch):
     per-(comp, plane) narrow schedule (both contract identical
     operands; only the issue grouping differs)."""
     mesh = prism_mesh(1)
+    monkeypatch.setenv("NS_PRISM_WIDE", "1")
     (_, op_wide), space, u = make_pair(mesh, 1, True, True)
     assert op_wide._psweep.wide
     monkeypatch.setenv("NS_PRISM_WIDE", "0")

@@ -58,12 +58,17 @@ def main():
     t2 = timeit(chain(axpy, a2, b2), a2, b2)
     t1 = timeit(chain(axpy, a1, b1), a1, b1)
 
-    # dots
+    # dots — the accumulator feeds back into the operand so XLA cannot
+    # CSE the reps iterations into a single reduction. Each iteration
+    # therefore costs one elementwise perturbation + one dot; subtract
+    # the axpy lane to isolate the dot, the layout RATIO is what matters
     def dots(x, y):
         def run(x, y):
             acc = jnp.float32(0.0)
             for i in range(reps):
-                acc = acc + jnp.vdot(x, y) * jnp.float32(1e-9)
+                acc = jnp.vdot(x + acc * jnp.float32(1e-30), y) * (
+                    jnp.float32(1e-9)
+                )
             return acc
 
         return jax.jit(run)

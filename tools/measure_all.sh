@@ -9,9 +9,11 @@ cd "$(dirname "$0")/.."
 run() {
   name=$1; shift
   echo "=== $name: $*" >&2
-  line=$(timeout "${T:-900}" "$@" 2>/tmp/measure_err.log | tail -1)
+  timeout "${T:-900}" "$@" > /tmp/measure_out.log 2>/tmp/measure_err.log
   rc=$?
-  if [ $rc -eq 0 ] && [ -n "$line" ]; then
+  line=$(tail -1 /tmp/measure_out.log)
+  # accept only a real result: rc 0 AND a JSON object on the last line
+  if [ $rc -eq 0 ] && [ "${line:0:1}" = "{" ]; then
     echo "{\"lane\": \"$name\", \"result\": $line}" >> "$OUT"
     echo "$line" >&2
   else
