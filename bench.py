@@ -179,11 +179,13 @@ def main():
         dt_mf = time_apply(op.vmult_pure, op.vmult_args, u)
         mdofs = n_dofs / dt_mf / 1e6
         frac = roofline_seconds(op, space, dtype) / dt_mf
+        path = ("prism" if op._psweep is not None else
+                "structured" if op._ssweep is not None else "general")
         print(json.dumps({
             "metric": "ns_vmult_turek3d_mdof_per_s",
             "value": round(mdofs, 2),
             "unit": f"MDoF/s/chip (Turek 3D ref={refinements} Q{degree}, "
-                    f"{n_dofs} dofs, f32, prism sweep)",
+                    f"{n_dofs} dofs, f32, {path} sweep)",
             "vs_baseline": round(frac, 4),
         }))
         return
