@@ -1101,8 +1101,11 @@ class StructuredSweep:
         self.prec_mode = prec_mode
         # wide batching (3D): contract all (comp, plane) band matmuls in
         # a handful of lane-concatenated wide matmuls (the kernel is
-        # MXU-issue-bound; see _make_kernel_3d fwd_wide)
-        self.wide = d == 3
+        # MXU-issue-bound; see _make_kernel_3d fwd_wide). NS_WIDE=0
+        # falls back to the per-(comp, plane) schedule.
+        import os
+
+        self.wide = d == 3 and os.environ.get("NS_WIDE", "1") != "0"
         # diagonal-Jacobian lattice (any subdivided-rectangle mesh):
         # compile the kernels without the off-diagonal jinv terms.
         # Sharded local views may not expose jinv — stay general there.
