@@ -106,4 +106,20 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # first Mosaic compile of the wide kernel schedules happens
+        # here when run on a fresh chip; retry once with the narrow
+        # per-(comp, plane) kernels so the lane still reports a number
+        import os
+        import sys as _sys
+
+        if os.environ.get("NS_WIDE") == "0":
+            raise
+        print(f"wide kernel failed ({type(e).__name__}); retrying narrow "
+              "(NS_WIDE=0)", file=_sys.stderr)
+        os.environ["NS_WIDE"] = "0"
+        os.environ["NS_PRISM_WIDE"] = "0"
+        os.execv(_sys.executable,
+                 [_sys.executable] + _sys.argv)
