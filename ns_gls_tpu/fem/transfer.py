@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -139,11 +140,19 @@ def _row_gather_sum(cols, wts, u):
     return acc
 
 
+# module-level jits: when called eagerly (the driver's per-step history/
+# linearization interpolation chains, ``main.cc:772-803``) the n_loc-term
+# loops otherwise dispatch ~3*n_loc SEPARATE device ops per call — ~80
+# eager dispatches per 3D-Q2 transfer, each paying the ~29 ms tunnel
+# dispatch latency on TPU. Inside an outer jit (the V-cycle) they simply
+# inline. One compile per level shape.
+@jax.jit
 def prolongate(t: TwoLevelTransfer, u_c: jnp.ndarray) -> jnp.ndarray:
     """(n_coarse, C) -> (n_fine, C)."""
     return _row_gather_sum(t.p_cols, t.p_wts, u_c)
 
 
+@jax.jit
 def restrict(t: TwoLevelTransfer, r_f: jnp.ndarray) -> jnp.ndarray:
     """Pᵀ: (n_fine, C) -> (n_coarse, C) — one row scatter-add per local
     basis function (2-D compact layouts, see :func:`_row_gather_sum`)."""
@@ -155,6 +164,7 @@ def restrict(t: TwoLevelTransfer, r_f: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+@jax.jit
 def interpolate_to_coarse(t: TwoLevelTransfer, u_f: jnp.ndarray) -> jnp.ndarray:
     """Solution interpolation (pointwise), fine -> coarse."""
     return _row_gather_sum(t.i_cols, t.i_wts, u_f).astype(u_f.dtype)

@@ -74,9 +74,14 @@ def element_matrices(op: NavierStokesOperator, cells: np.ndarray | None = None,
     C = op.n_comp
 
     # memoized on the operator (same reason as compute_diagonal: a fresh
-    # jit wrapper per call would recompile on every rebuild)
-    emat_v = getattr(op, "_emat_v", None)
-    if emat_v is None:
+    # jit wrapper per call would recompile on every rebuild). The cell
+    # selection/chunking runs INSIDE one jit (gathers on device, chunked
+    # via a rolled fori + static tail so jacfwd intermediates stay
+    # bounded), and the result ships in ONE host fetch — the eager
+    # per-chunk loop paid ~10 device round trips per rebuild on the
+    # tunneled TPU.
+    emat_all = getattr(op, "_emat_all", None)
+    if emat_all is None:
         f = _local_apply(op)
 
         def emat(jinv, jxw, cq):
@@ -87,21 +92,45 @@ def element_matrices(op: NavierStokesOperator, cells: np.ndarray | None = None,
         cq_axes = {
             k: (None if k == "weight" else 0) for k in _cq_cell_tree(op)
         }
-        emat_v = jax.jit(jax.vmap(emat, in_axes=(0, 0, cq_axes)))
-        op._emat_v = emat_v
+        emat_v = jax.vmap(emat, in_axes=(0, 0, cq_axes))
+
+        def impl(jinv, jxw, cq_all, sel):
+            n_sel = sel.shape[0]
+            n_full = n_sel // chunk
+            tail = n_sel - n_full * chunk
+            nlc = n_loc * C
+
+            def chunk_mats(lo, size):
+                idx = jax.lax.dynamic_slice_in_dim(sel, lo, size, 0)
+                cq = {
+                    k: (v if k == "weight" else v[idx])
+                    for k, v in cq_all.items()
+                }
+                return emat_v(jinv[idx], jxw[idx], cq)
+
+            out = jnp.zeros((n_sel, nlc, nlc), op.dtype)
+            if n_full:
+                out = jax.lax.fori_loop(
+                    0, n_full,
+                    lambda i, o: jax.lax.dynamic_update_slice_in_dim(
+                        o, chunk_mats(i * chunk, chunk), i * chunk, 0
+                    ),
+                    out,
+                )
+            if tail:
+                out = jax.lax.dynamic_update_slice_in_dim(
+                    out, chunk_mats(n_full * chunk, tail), n_full * chunk, 0
+                )
+            return out
+
+        emat_all = jax.jit(impl)
+        op._emat_all = emat_all
 
     sel = np.arange(op.space.mesh.n_cells) if cells is None else np.asarray(cells)
-    cq_all = _cq_cell_tree(op)
-    out = []
-    for lo in range(0, len(sel), chunk):
-        idx = jnp.asarray(sel[lo : lo + chunk])
-        cq = {
-            k: (v if k == "weight" else v[idx]) for k, v in cq_all.items()
-        }
-        out.append(
-            np.asarray(emat_v(op.batch.jinv[idx], op.batch.jxw[idx], cq))
-        )
-    return np.concatenate(out, axis=0)
+    return np.asarray(
+        emat_all(op.batch.jinv, op.batch.jxw, _cq_cell_tree(op),
+                 jnp.asarray(sel.astype(np.int32)))
+    )
 
 
 def compute_diagonal(op: NavierStokesOperator, chunk: int = 2048) -> jnp.ndarray:
@@ -115,13 +144,16 @@ def compute_diagonal(op: NavierStokesOperator, chunk: int = 2048) -> jnp.ndarray
     n_loc = op.space.element.n_loc
     C = op.n_comp
 
-    # memoize the jitted per-cell diagonal kernel on the operator: a
-    # fresh jax.jit wrapper per call defeats the jit cache (new function
-    # identity), so every preconditioner rebuild paid a full
-    # retrace+recompile (~0.75 s/level/step, over half the measured
-    # Turek step time)
-    ediag_v = getattr(op, "_ediag_v", None)
-    if ediag_v is None:
+    # memoize ONE jitted whole-mesh kernel on the operator (a fresh
+    # jax.jit wrapper per call defeats the jit cache — every rebuild
+    # paid a retrace+recompile, ~0.75 s/level/step). The chunk loop runs
+    # INSIDE the jit as a rolled fori over dynamic slices (+ a static
+    # tail), so one preconditioner rebuild issues ONE device dispatch
+    # instead of ~4 eager ops per chunk (each a ~29 ms round trip on the
+    # tunneled TPU), while per-chunk jacfwd intermediates keep memory
+    # bounded and the HLO small.
+    diag_all = getattr(op, "_diag_all", None)
+    if diag_all is None:
         f = _local_apply(op)
 
         def ediag(jinv, jxw, cq):
@@ -134,23 +166,43 @@ def compute_diagonal(op: NavierStokesOperator, chunk: int = 2048) -> jnp.ndarray
         cq_axes = {
             k: (None if k == "weight" else 0) for k in _cq_cell_tree(op)
         }
-        ediag_v = jax.jit(jax.vmap(ediag, in_axes=(0, 0, cq_axes)))
-        op._ediag_v = ediag_v
+        ediag_v = jax.vmap(ediag, in_axes=(0, 0, cq_axes))
+        n_c = op.space.mesh.n_cells
+        n_full = n_c // chunk
+        tail = n_c - n_full * chunk
 
-    n_c = op.space.mesh.n_cells
-    cq_all = _cq_cell_tree(op)
-    diag = jnp.zeros((op.n_nodes, C), op.dtype)
-    for lo in range(0, n_c, chunk):
-        hi = min(lo + chunk, n_c)
-        cq = {
-            k: (v if k == "weight" else v[lo:hi]) for k, v in cq_all.items()
-        }
-        d_loc = ediag_v(op.batch.jinv[lo:hi], op.batch.jxw[lo:hi], cq)
-        diag = diag.at[op.batch.cell_nodes[lo:hi]].add(d_loc)
+        def impl(jinv, jxw, cq_all, cell_nodes, c_rows):
+            def chunk_add(diag, lo, size):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, lo, size, 0)
+                cq = {
+                    k: (v if k == "weight" else sl(v))
+                    for k, v in cq_all.items()
+                }
+                d_loc = ediag_v(sl(jinv), sl(jxw), cq)
+                return diag.at[sl(cell_nodes)].add(d_loc)
+
+            diag = jnp.zeros((op.n_nodes, C), op.dtype)
+            if n_full:
+                diag = jax.lax.fori_loop(
+                    0, n_full,
+                    lambda i, d: chunk_add(d, i * chunk, chunk), diag,
+                )
+            if tail:
+                diag = chunk_add(diag, n_full * chunk, tail)
+            if c_rows is not None:
+                diag = diag.reshape(-1).at[c_rows].set(1.0).reshape(
+                    diag.shape
+                )
+            return diag
+
+        diag_all = jax.jit(impl)
+        op._diag_all = diag_all
+
     ca = op.constraints_homogeneous
-    if ca.n:
-        diag = diag.reshape(-1).at[ca.rows].set(1.0).reshape(diag.shape)
-    return diag
+    return diag_all(
+        op.batch.jinv, op.batch.jxw, _cq_cell_tree(op),
+        op.batch.cell_nodes, ca.rows if ca.n else None,
+    )
 
 
 def compute_inverse_diagonal(op: NavierStokesOperator) -> jnp.ndarray:

@@ -317,7 +317,6 @@ class PreconditionerGMG:
                 continue
             with timer("mg_init::diagonal"):
                 d = compute_inverse_diagonal(op)
-                jax.block_until_ready(d)
             if self.distributed:
                 # smoother state lives in the distributed layout (the
                 # diagnostic below still reads the global copy)
@@ -327,10 +326,11 @@ class PreconditionerGMG:
             inv_diags.append(d)
             inv_diags_apply.append(d_apply)
             with timer("mg_init::omega"):
+                # omega stays a device scalar (a GMGArgs leaf): fetching
+                # it here cost one tunnel round trip per level per step
                 om = self._estimate_omega(
                     self.level_ops_apply[lvl].vmult_args, d_apply, lvl
                 )
-                float(om)
             omegas.append(om)
 
         coarse_lu = ()
