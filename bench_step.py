@@ -24,6 +24,12 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_ref = int(args[0]) if len(args) > 0 else 2
     n_steps = int(args[1]) if len(args) > 1 else 3
+    if "--timers" in sys.argv:
+        # per-phase attribution needs every scope fenced (costs ~29 ms
+        # per scope over the tunnel — only when asked for)
+        import os
+
+        os.environ.setdefault("NS_TIMER_FENCE", "all")
 
     from ns_gls_tpu.config import Parameters
     from ns_gls_tpu.driver import Driver

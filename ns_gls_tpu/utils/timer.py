@@ -22,9 +22,23 @@ class TimerCollection:
     (``timer.h:194-253``)."""
 
     def __init__(self):
+        import os
+
         self._data = defaultdict(lambda: [0, 0.0, float("inf"), 0.0])
         self._path = threading.local()
         self.sync = True
+        # fence depth: each fence costs a device round trip (~29 ms
+        # dispatch + fetch on the tunneled TPU), and a production step
+        # enters ~30 nested scopes — fencing them all costs ~1 s/step of
+        # pure synchronization. Default: fence only top-level scopes
+        # (depth 1 — the "loop" scope bench_step's s/step metric reads),
+        # so the headline numbers stay honest while nested attribution
+        # is dispatch-free. NS_TIMER_FENCE=all restores per-scope
+        # fencing for on-chip phase profiling; =off disables fencing.
+        mode = os.environ.get("NS_TIMER_FENCE", "top")
+        self.fence_depth = (
+            10**9 if mode == "all" else 0 if mode == "off" else 1
+        )
         self._tok_fn = None
         self._tok = None
 
@@ -59,7 +73,7 @@ class TimerCollection:
         try:
             yield
         finally:
-            if self.sync:
+            if self.sync and len(stack) <= self.fence_depth:
                 try:
                     self._fence()
                 except Exception:
