@@ -133,6 +133,23 @@ def element_matrices(op: NavierStokesOperator, cells: np.ndarray | None = None,
     )
 
 
+def diagonal_kernel(op: NavierStokesOperator, chunk: int = 2048):
+    """(jitted whole-mesh diagonal fn, current-args builder) — memoized
+    on the operator. The fn composes inside outer jits (the GMG
+    smoother-state refresh fuses every level's diagonal + omega into one
+    dispatch)."""
+    _ensure_diag_all(op, chunk)
+    return op._diag_all, lambda: _diag_args(op)
+
+
+def _diag_args(op):
+    ca = op.constraints_homogeneous
+    return (
+        op.batch.jinv, op.batch.jxw, _cq_cell_tree(op),
+        op.batch.cell_nodes, ca.rows if ca.n else None,
+    )
+
+
 def compute_diagonal(op: NavierStokesOperator, chunk: int = 2048) -> jnp.ndarray:
     """Diagonal of the (constrained) operator, shape (n_nodes, C).
 
@@ -141,6 +158,11 @@ def compute_diagonal(op: NavierStokesOperator, chunk: int = 2048) -> jnp.ndarray
     unconstrained diagonal entries are dropped — exact for Dirichlet /
     pressure-pin constraints, approximate for slip/periodic rows; the
     Jacobi smoother tolerates this.)"""
+    _ensure_diag_all(op, chunk)
+    return op._diag_all(*_diag_args(op))
+
+
+def _ensure_diag_all(op: NavierStokesOperator, chunk: int = 2048) -> None:
     n_loc = op.space.element.n_loc
     C = op.n_comp
 
@@ -152,8 +174,7 @@ def compute_diagonal(op: NavierStokesOperator, chunk: int = 2048) -> jnp.ndarray
     # instead of ~4 eager ops per chunk (each a ~29 ms round trip on the
     # tunneled TPU), while per-chunk jacfwd intermediates keep memory
     # bounded and the HLO small.
-    diag_all = getattr(op, "_diag_all", None)
-    if diag_all is None:
+    if getattr(op, "_diag_all", None) is None:
         f = _local_apply(op)
 
         def ediag(jinv, jxw, cq):
@@ -195,14 +216,7 @@ def compute_diagonal(op: NavierStokesOperator, chunk: int = 2048) -> jnp.ndarray
                 )
             return diag
 
-        diag_all = jax.jit(impl)
-        op._diag_all = diag_all
-
-    ca = op.constraints_homogeneous
-    return diag_all(
-        op.batch.jinv, op.batch.jxw, _cq_cell_tree(op),
-        op.batch.cell_nodes, ca.rows if ca.n else None,
-    )
+        op._diag_all = jax.jit(impl)
 
 
 def compute_inverse_diagonal(op: NavierStokesOperator) -> jnp.ndarray:

@@ -299,6 +299,42 @@ class PreconditionerGMG:
         lam_min = lam_max / self.smoothing_range
         return 2.0 / (lam_min + lam_max)
 
+    def _refresh_smoother_state(self):
+        """Fused single-dispatch refresh of (inv_diag, omega) for every
+        smoothed level (single-device path)."""
+        from ns_gls_tpu.ops.assembly import diagonal_kernel
+
+        fn = getattr(self, "_refresh_fn", None)
+        if fn is None:
+            lvls = [
+                lvl for lvl in range(self.n_levels)
+                if not (lvl == 0 and not self._needs_level0_args)
+            ]
+            kernels = [diagonal_kernel(self.level_ops[lvl])[0]
+                       for lvl in lvls]
+
+            def impl(diag_args, level_args):
+                outs = []
+                for i, lvl in enumerate(lvls):
+                    d = kernels[i](*diag_args[i])
+                    dinv = jnp.where(jnp.abs(d) > 1e-10, 1.0 / d, 1.0)
+                    om = self._estimate_omega_impl(
+                        level_args[i], dinv, lvl
+                    )
+                    outs.append((dinv, om))
+                return tuple(outs)
+
+            fn = jax.jit(impl)
+            self._refresh_fn = fn
+            self._refresh_lvls = lvls
+        from ns_gls_tpu.ops.assembly import _diag_args
+
+        lvls = self._refresh_lvls
+        return fn(
+            tuple(_diag_args(self.level_ops[lvl]) for lvl in lvls),
+            tuple(self.level_ops_apply[lvl].vmult_args for lvl in lvls),
+        )
+
     def initialize(self):
         """Recompute dynamic state: inverse diagonals, relaxation factors,
         coarse factorization (called per Newton step,
@@ -309,29 +345,43 @@ class PreconditionerGMG:
         inv_diags = []
         inv_diags_apply = []
         omegas = []
-        for lvl, op in enumerate(self.level_ops):
-            if lvl == 0 and not self._needs_level0_args:
-                inv_diags.append(())
-                inv_diags_apply.append(())
-                omegas.append(())
-                continue
-            with timer("mg_init::diagonal"):
-                d = compute_inverse_diagonal(op)
-            if self.distributed:
+        if not self.distributed:
+            # ONE jitted dispatch refreshes every level's inverse
+            # diagonal AND relaxation factor (the per-level calls cost
+            # ~2 device round trips per level per step on the tunnel);
+            # omegas stay device scalars in GMGArgs
+            with timer("mg_init::smoother_state"):
+                outs = self._refresh_smoother_state()
+            it = iter(outs)
+            for lvl in range(self.n_levels):
+                if lvl == 0 and not self._needs_level0_args:
+                    inv_diags.append(())
+                    inv_diags_apply.append(())
+                    omegas.append(())
+                    continue
+                d, om = next(it)
+                inv_diags.append(d)
+                inv_diags_apply.append(d)
+                omegas.append(om)
+        else:
+            for lvl, op in enumerate(self.level_ops):
+                if lvl == 0 and not self._needs_level0_args:
+                    inv_diags.append(())
+                    inv_diags_apply.append(())
+                    omegas.append(())
+                    continue
+                with timer("mg_init::diagonal"):
+                    d = compute_inverse_diagonal(op)
                 # smoother state lives in the distributed layout (the
                 # diagnostic below still reads the global copy)
                 d_apply = self.level_ops_apply[lvl].to_dist(d)
-            else:
-                d_apply = d
-            inv_diags.append(d)
-            inv_diags_apply.append(d_apply)
-            with timer("mg_init::omega"):
-                # omega stays a device scalar (a GMGArgs leaf): fetching
-                # it here cost one tunnel round trip per level per step
-                om = self._estimate_omega(
-                    self.level_ops_apply[lvl].vmult_args, d_apply, lvl
-                )
-            omegas.append(om)
+                inv_diags.append(d)
+                inv_diags_apply.append(d_apply)
+                with timer("mg_init::omega"):
+                    om = self._estimate_omega(
+                        self.level_ops_apply[lvl].vmult_args, d_apply, lvl
+                    )
+                omegas.append(om)
 
         coarse_lu = ()
         n_coarse = self.level_ops[0].n_nodes * self.level_ops[0].n_comp
