@@ -616,9 +616,67 @@ class Driver:
         with timer("setup_jacobian"):
             self.op.set_linearization_point(u)
 
+    def _can_fuse_levels(self) -> bool:
+        """The fused per-level update chains cover the production
+        configurations (single device, global-coarsening hierarchy, no
+        Nitsche targets on level ops); anything else takes the
+        per-level calls."""
+        return (
+            self.params.n_devices == 1
+            and getattr(self, "_ls_lvl2fin", None) is None
+            and not any(op.outflow_bcs_nitsche for op in self.mg_ops)
+        )
+
+    def _fused_level_linearization(self, u):
+        """Interpolation chain + every level's set_linearization_point in
+        ONE jitted dispatch (the per-level calls cost ~2 device round
+        trips per level per Newton step on the tunneled TPU)."""
+        fn = getattr(self, "_lvl_lin_fn", None)
+        if fn is None:
+            ops = tuple(self.mg_ops)
+            mgdt = self.params.mg_dtype
+
+            def impl(transfers, batches, faces, states, u, weight, stau):
+                n_l = len(ops)
+                cur = u.astype(mgdt)
+                levels = [None] * n_l
+                levels[-1] = cur
+                for l in range(n_l - 2, -1, -1):
+                    levels[l] = interpolate_to_coarse(
+                        transfers[l], levels[l + 1]
+                    )
+                out = []
+                for l in range(n_l):
+                    st = states[l]._replace(weight=weight, stau=stau)
+                    out.append(
+                        ops[l]._set_linearization_impl(
+                            batches[l], faces[l], st, levels[l]
+                        )
+                    )
+                return tuple(out)
+
+            fn = jax.jit(impl)
+            self._lvl_lin_fn = fn
+        tau = self.time_integrator.current_dt
+        mgdt = self.params.mg_dtype
+        new_states = fn(
+            tuple(self.mg_transfers),
+            tuple(op.batch for op in self.mg_ops),
+            tuple(op.face_blocks for op in self.mg_ops),
+            tuple(op.state for op in self.mg_ops),
+            u,
+            jnp.asarray(self.time_integrator.primary_weight, mgdt),
+            jnp.asarray(0.0 if tau == 0.0 else 1.0 / tau, mgdt),
+        )
+        for op_l, st in zip(self.mg_ops, new_states):
+            op_l._valid_system = False
+            op_l.state = st
+
     def _setup_preconditioner(self, u):
         with timer("setup_preconditioner"):
-            if self.mg_ops:
+            if self.mg_ops and self._can_fuse_levels():
+                self._fused_level_linearization(u)
+            elif self.mg_ops:
                 levels = self._interpolate_to_levels(u)
                 for op_l, u_l in zip(self.mg_ops, levels):
                     op_l.set_linearization_point(u_l)
@@ -650,10 +708,74 @@ class Driver:
             return cstr.distribute(self.csets.homogeneous, dst,
                                    homogeneous=True)
 
+    def _fused_level_history(self):
+        """Level history push in ONE jitted dispatch: interpolation is
+        linear, so the levels' weighted old sums are the chained
+        interpolations of the fine weighted sum (one chain instead of
+        one per history vector), plus a u_old chain for theta tables."""
+        fn = getattr(self, "_lvl_hist_fn", None)
+        if fn is None:
+            ops = tuple(self.mg_ops)
+            mgdt = self.params.mg_dtype
+
+            def impl(transfers, batches, states, vec_old_f, u_old_f,
+                     weight, stau):
+                n_l = len(ops)
+
+                def chain(v):
+                    out = [None] * n_l
+                    out[-1] = v.astype(mgdt)
+                    for l in range(n_l - 2, -1, -1):
+                        out[l] = interpolate_to_coarse(
+                            transfers[l], out[l + 1]
+                        )
+                    return out
+
+                vo = chain(vec_old_f)
+                uo = (chain(u_old_f) if ops[0].theta != 1.0
+                      else [None] * n_l)
+                outs = []
+                # the BDF weights are O(1/dt): history tables trace at
+                # HIGHEST matmul precision like the fine op's set_prev
+                with jax.default_matmul_precision("highest"):
+                    for l in range(n_l):
+                        st = states[l]._replace(weight=weight, stau=stau)
+                        outs.append(
+                            ops[l]._set_previous_impl(
+                                batches[l], st, vo[l],
+                                uo[l] if uo[l] is not None else vo[l],
+                            )
+                        )
+                return tuple(outs)
+
+            fn = jax.jit(impl)
+            self._lvl_hist_fn = fn
+        w = self.time_integrator.weights
+        vec_old_f = self.solution.weighted_old_sum(
+            tuple(jnp.asarray(x, self.op.dtype) for x in w)
+        )
+        tau = self.time_integrator.current_dt
+        mgdt = self.params.mg_dtype
+        new_states = fn(
+            tuple(self.mg_transfers),
+            tuple(op.batch for op in self.mg_ops),
+            tuple(op.state for op in self.mg_ops),
+            vec_old_f,
+            self.solution.vectors[1],
+            jnp.asarray(self.time_integrator.primary_weight, mgdt),
+            jnp.asarray(0.0 if tau == 0.0 else 1.0 / tau, mgdt),
+        )
+        for op_l, st in zip(self.mg_ops, new_states):
+            op_l._valid_system = False
+            op_l.state = st
+
     def _set_previous_solution(self):
         """(``main.cc:772-803``)"""
         self.op.set_previous_solution(self.solution)
         if self.mg_ops and self.time_integrator.order > 0:
+            if self._can_fuse_levels():
+                self._fused_level_history()
+                return
             n_l = len(self.mg_ops)
             hist_l = [
                 SolutionHistory.zeros(
