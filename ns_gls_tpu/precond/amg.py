@@ -164,10 +164,189 @@ class PreconditionerAMG:
         self._args: AMGArgs | None = None
         self._build_vcycle()
 
+    # ------------------------------------------------------------------
+    # device value refresh (structure-frozen rebuilds)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _csr_pattern(rows, cols, nn):
+        """Canonical sorted CSR pattern + vectorized slot lookup key."""
+        import scipy.sparse as sp
+
+        P = sp.coo_matrix(
+            (np.ones(len(rows)), (rows, cols)), shape=(nn, nn)
+        ).tocsr()
+        P.sum_duplicates()
+        P.sort_indices()
+        row_of = np.repeat(np.arange(nn), np.diff(P.indptr))
+        key = row_of.astype(np.int64) * nn + P.indices
+        return P, row_of, key
+
+    def _build_refresh(self, rows_e, cols_e, mask, n):
+        """Precompute the slot-map chain: element-matrix entries ->
+        masked fine CSR -> Galerkin CSR per aggregation level (P has one
+        unit entry per row, so RAP is a pure segment-sum) -> stored ELL /
+        diagonal / coarsest-dense indices. Later initializes then refresh
+        every matrix VALUE on device in one jitted dispatch — no
+        element-matrix download, no host RAP, no ELL re-upload."""
+        C = self.n_comp
+        # level-0 canonical pattern + entry->slot map
+        P0, row_of0, key0 = self._csr_pattern(rows_e, cols_e, n)
+        slots_e = np.searchsorted(key0, rows_e.astype(np.int64) * n + cols_e)
+        maskf = (mask[rows_e] & mask[cols_e]).astype(np.float64)
+        base0 = np.zeros(P0.nnz)
+        cdofs = np.nonzero(~mask)[0]
+        if len(cdofs):
+            dslots = np.searchsorted(key0, cdofs.astype(np.int64) * n + cdofs)
+            base0[dslots] = 1.0
+
+        pats = [(P0, row_of0)]
+        tmaps = []
+        nn_k = n
+        for agg_dofs, n_agg in self._frozen_aggs:
+            P, row_of = pats[-1]
+            nn_next = n_agg * C
+            r1 = agg_dofs[row_of]
+            c1 = agg_dofs[P.indices]
+            P1, row_of1, key1 = self._csr_pattern(r1, c1, nn_next)
+            tmaps.append(
+                (np.searchsorted(key1, r1.astype(np.int64) * nn_next + c1),
+                 P1.nnz)
+            )
+            pats.append((P1, row_of1))
+            nn_k = nn_next
+
+        def ell_maps(P):
+            nn = P.shape[0]
+            width = max(int(np.diff(P.indptr).max()), 1)
+            pos = np.arange(P.nnz) - np.repeat(P.indptr[:-1],
+                                               np.diff(P.indptr))
+            row_of = np.repeat(np.arange(nn), np.diff(P.indptr))
+            flat = row_of * width + pos
+            cols = np.tile(np.arange(nn, dtype=np.int64)[:, None],
+                           (1, width))
+            cols.reshape(-1)[flat] = P.indices
+            diag = np.searchsorted(
+                row_of.astype(np.int64) * nn + P.indices,
+                np.arange(nn, dtype=np.int64) * (nn + 1),
+            )
+            return flat, cols.astype(np.int32), width, row_of, diag
+
+        j = jnp.asarray
+        lvl_maps = []
+        ell_cols_frozen = []
+        for k, (P, row_of) in enumerate(pats[:-1]):   # stored levels
+            nn = P.shape[0]
+            skip_ell = self.matrix_free_fine and k == 0
+            flat, cols, width, row_of_, diag = ell_maps(P)
+            lvl_maps.append(dict(
+                nn=nn, width=width, skip_ell=skip_ell,
+                flat=j(flat.astype(np.int32)),
+                row_of=j(row_of_.astype(np.int32)),
+                diag=j(diag.astype(np.int32)),
+            ))
+            ell_cols_frozen.append(
+                jnp.zeros((nn, 0), jnp.int32) if skip_ell else j(cols)
+            )
+        Pl, row_ofl = pats[-1]
+        coarse = dict(
+            nn=Pl.shape[0],
+            rows=j(row_ofl.astype(np.int32)),
+            cols=j(Pl.indices.astype(np.int32)),
+        )
+        dtype = self.op.dtype
+        # same dtype rule as the host path (TPU LU implements only F32)
+        lu_dt = (
+            jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+        )
+
+        def impl(emat, slots_e, maskf, base0, tmaps_d):
+            data = jnp.zeros(P0.nnz, dtype).at[slots_e].add(
+                emat.reshape(-1) * maskf
+            ) + base0
+            datas = [data]
+            for tmap, nnz1 in tmaps_d:
+                datas.append(
+                    jnp.zeros(nnz1, dtype).at[tmap].add(datas[-1])
+                )
+            out_lv = []
+            for k, m in enumerate(lvl_maps):
+                d_k = datas[k]
+                if m["skip_ell"]:
+                    vals = jnp.zeros((m["nn"], 0), dtype)
+                else:
+                    vals = jnp.zeros(
+                        m["nn"] * m["width"], dtype
+                    ).at[m["flat"]].set(d_k).reshape(m["nn"], m["width"])
+                diag = d_k[m["diag"]]
+                inv_diag = jnp.where(jnp.abs(diag) > 1e-12, 1.0 / diag, 1.0)
+                rs = jnp.zeros(m["nn"], dtype).at[m["row_of"]].add(
+                    jnp.abs(d_k)
+                ) * jnp.abs(inv_diag)
+                omega = 1.0 / jnp.maximum(rs.max(), 1.0)
+                out_lv.append((vals, inv_diag, omega))
+            dl = datas[-1]
+            dense = jnp.zeros(
+                (coarse["nn"], coarse["nn"]), lu_dt
+            ).at[coarse["rows"], coarse["cols"]].set(dl.astype(lu_dt))
+            lu = jax.scipy.linalg.lu_factor(dense)
+            return tuple(out_lv), tuple(lu)
+
+        maps_d = dict(
+            slots_e=j(slots_e.astype(np.int32)),
+            maskf=j(maskf.astype(np.float64), dtype=dtype),
+            base0=j(base0, dtype=dtype),
+            tmaps=tuple((j(t.astype(np.int32)), nz) for t, nz in tmaps),
+        )
+        fn = jax.jit(
+            lambda emat, s=maps_d: impl(
+                emat, s["slots_e"], s["maskf"], s["base0"], s["tmaps"]
+            )
+        )
+        self._refresh_maps = maps_d
+        self._refresh_fn = fn
+        self._refresh_ell_cols = tuple(ell_cols_frozen)
+
+    def _device_refresh(self):
+        """Rebuild AMGArgs values on device (frozen structure)."""
+        from ns_gls_tpu.ops.assembly import _cq_cell_tree
+
+        op = self.op
+        sel = getattr(self, "_refresh_sel", None)
+        if sel is None:
+            sel = jnp.arange(op.space.mesh.n_cells, dtype=jnp.int32)
+            self._refresh_sel = sel
+        emat = op._emat_all(
+            op.batch.jinv, op.batch.jxw, _cq_cell_tree(op), sel
+        )
+        out_lv, lu = self._refresh_fn(emat)
+        levels = tuple(
+            AMGLevel(
+                ell_cols=self._refresh_ell_cols[k],
+                ell_vals=vals,
+                inv_diag=inv_diag,
+                omega=omega,
+                agg=jnp.asarray(
+                    self._frozen_aggs[k][0].astype(np.int32)
+                ),
+                ilu=(),
+            )
+            for k, (vals, inv_diag, omega) in enumerate(out_lv)
+        )
+        self._args = AMGArgs(
+            levels=levels, coarse_lu=lu,
+            fine_args=(op.vmult_args if self.matrix_free_fine else ()),
+        )
+        self._n_levels = len(levels)
+
     def initialize(self):
         import scipy.sparse as sp
 
         from ns_gls_tpu.ops.assembly import element_matrices
+
+        if getattr(self, "_refresh_fn", None) is not None:
+            # structure-frozen device value refresh (one dispatch)
+            self._device_refresh()
+            return
 
         op = self.op
         C = self.n_comp
@@ -186,12 +365,14 @@ class PreconditionerAMG:
         ).tocsr()
         # constraint rows/cols -> identity (Dirichlet-style condensation)
         ca = op.constraints_homogeneous
+        mask = np.ones(n, dtype=bool)
         if ca.n:
             crows = np.asarray(ca.rows)
-            mask = np.ones(n, dtype=bool)
             mask[crows] = False
             D = sp.diags(mask.astype(np.float64))
             A = D @ A @ D + sp.diags((~mask).astype(np.float64))
+        # entry layout for the device value refresh (_build_refresh)
+        self._e_rows, self._e_cols, self._e_mask = rows, cols, mask
 
         dtype = op.dtype
         levels = []
@@ -276,6 +457,15 @@ class PreconditionerAMG:
         )
         self._n_levels = len(levels)
         self._frozen_aggs = frozen_aggs
+
+        if self.smoother == "jacobi":
+            # build the structure-frozen device refresh and immediately
+            # rebuild the args from the canonical chain, so every later
+            # initialize is ONE device dispatch (and all rebuilds share
+            # one ELL pattern — no downstream retraces)
+            self._build_refresh(self._e_rows, self._e_cols,
+                                self._e_mask, n)
+            self._device_refresh()
 
     # ------------------------------------------------------------------
     def _build_vcycle(self):

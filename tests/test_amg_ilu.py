@@ -155,3 +155,38 @@ def test_amg_ilu_driver_config_key():
     d.run(max_steps=1)
     assert d.preconditioner.smoother == "ilu"
     assert np.isfinite(np.asarray(d.solution.current)).all()
+
+
+def test_amg_device_refresh_matches_host_rebuild():
+    """After the first initialize, AMG rebuilds refresh matrix values on
+    device through the frozen slot-map chain — the result must match a
+    from-scratch host rebuild at the new linearization point."""
+    from ns_gls_tpu.fem.constraints import distribute
+    from ns_gls_tpu.precond.amg import PreconditionerAMG
+
+    op, space, u0 = make_op()
+    amg = PreconditionerAMG(op)
+    amg.initialize()
+    assert amg._refresh_fn is not None
+
+    # move the linearization point, then refresh (device path)
+    rng = np.random.default_rng(3)
+    u1 = distribute(
+        op.constraints_inhomogeneous,
+        u0 + 0.1 * jnp.asarray(rng.standard_normal(u0.shape), u0.dtype),
+    )
+    op.set_linearization_point(u1)
+    amg.initialize()
+    args_dev = amg.vmult_args
+
+    # fresh preconditioner = full host build at the same point
+    amg2 = PreconditionerAMG(op)
+    amg2.initialize()
+    args_host = amg2.vmult_args
+
+    r = jnp.asarray(rng.standard_normal(u0.shape), u0.dtype)
+    a = np.asarray(amg.vmult_pure(args_dev, r))
+    b = np.asarray(amg2.vmult_pure(args_host, r))
+    assert np.abs(a - b).max() <= 5e-5 * max(np.abs(b).max(), 1e-30), (
+        np.abs(a - b).max(), np.abs(b).max()
+    )
