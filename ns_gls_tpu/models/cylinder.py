@@ -391,7 +391,7 @@ class SimulationCylinder(SimulationBase):
             )
 
     def write_slices(self, t, solution):
-        if not self._slices:
+        if not self._slices or self.output_granularity <= 0:
             return
         if (t + 1e-15) < self._slice_counter * self.output_granularity:
             return
