@@ -693,6 +693,7 @@ class NavierStokesOperator:
         # pure-function protocol for solvers: fn(args, x) + dynamic args,
         # so downstream jits never close over mutable state
         self.vmult_pure = vmult_fn
+        self.residual_pure = residual_fn
         self._set_lin = jax.jit(self._set_linearization_impl)
 
         def set_prev_hp(*a, **kw):

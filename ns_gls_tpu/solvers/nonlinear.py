@@ -29,6 +29,11 @@ class NonLinearSolverBase:
     evaluate_rhs: Callable = None          # () -> rhs
     evaluate_residual: Callable = None     # (u) -> residual
     solve_with_jacobian: Callable = None   # (rhs) -> delta
+    # optional fused step: (u, inc) -> (u + inc, residual, ||residual||)
+    # with the Jacobian re-linearized at u + inc — one device dispatch
+    # where the classic callbacks pay four (Newton only; falls back to
+    # the classic sequence when unset or when `postprocess` is set)
+    advance_and_residual: Optional[Callable] = None
     postprocess: Optional[Callable] = None
     logger: Optional[Callable] = None
 
@@ -80,12 +85,18 @@ class NonLinearSolverNewton(NonLinearSolverBase):
             if it == 0 or not self.inexact:
                 self.setup_preconditioner(solution)
             inc = self.solve_with_jacobian(rhs)
-            solution = solution + inc
-            if self.postprocess:
-                self.postprocess(solution)
-            self.setup_jacobian(solution)
-            rhs = self.evaluate_residual(solution)
-            l2_prev, l2 = l2, float(acc_norm(rhs))
+            if self.advance_and_residual is not None and not self.postprocess:
+                solution, rhs, l2_new = self.advance_and_residual(
+                    solution, inc
+                )
+                l2_prev, l2 = l2, float(l2_new)
+            else:
+                solution = solution + inc
+                if self.postprocess:
+                    self.postprocess(solution)
+                self.setup_jacobian(solution)
+                rhs = self.evaluate_residual(solution)
+                l2_prev, l2 = l2, float(acc_norm(rhs))
             it += 1
             self._log(f"    [N] step {it}; residual = {l2:.6e}")
             if (self.relative and it >= 2 and l2 > 0.5 * l2_prev
