@@ -743,10 +743,52 @@ class Driver:
 
     def _solve_with_jacobian(self, rhs):
         from ns_gls_tpu.fem import constraints as cstr
+        from ns_gls_tpu.solvers.linear import LinearSolverGMRES
 
         with timer("solve_with_jacobian"):
+            ls = self.linear_solver
+            if (isinstance(ls, LinearSolverGMRES)
+                    and not hasattr(ls.op, "to_dist")):
+                # fused: constraint zeroing, tolerance, the GMRES solve
+                # and the constraint distribution in ONE dispatch (the
+                # sequence was four device round trips per Newton
+                # iteration over the tunnel)
+                fn = getattr(self, "_solve_fn", None)
+                if fn is None:
+                    from ns_gls_tpu.solvers.linear import acc_norm, gmres
+
+                    op, pre = ls.op, ls.preconditioner
+                    restart = ls.restart
+                    max_restarts = max(1, ls.n_max_iterations // restart)
+
+                    def impl(a_args, m_args, ca, b, rel, ab):
+                        b0 = cstr.set_zero(ca, b)
+                        tol = jnp.maximum(rel * acc_norm(b0), ab)
+                        res = gmres(
+                            op.vmult_pure, a_args, b0,
+                            jnp.zeros_like(b0), M=pre.vmult_pure,
+                            m_args=m_args, tol=tol, restart=restart,
+                            max_restarts=max_restarts,
+                        )
+                        return (
+                            cstr.distribute(ca, res.x, homogeneous=True),
+                            res.iterations,
+                        )
+
+                    fn = jax.jit(impl)
+                    self._solve_fn = fn
+                dst, its = fn(
+                    ls.op.vmult_args, ls.preconditioner.vmult_args,
+                    self.csets.homogeneous, rhs,
+                    jnp.asarray(ls.rel_tol, rhs.dtype),
+                    jnp.asarray(ls.abs_tol, rhs.dtype),
+                )
+                ls._last_it = int(its)
+                if ls.logger:
+                    ls.logger(f"    [L] solved in {ls._last_it} iterations.")
+                return dst
             rhs = cstr.set_zero(self.csets.homogeneous, rhs)
-            dst = self.linear_solver.solve(rhs)
+            dst = ls.solve(rhs)
             return cstr.distribute(self.csets.homogeneous, dst,
                                    homogeneous=True)
 
