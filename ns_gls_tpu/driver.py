@@ -322,6 +322,14 @@ class Driver:
             # fused Newton advance (single-device; the sharded wrapper
             # keeps the classic callback sequence)
             nl.advance_and_residual = self._advance_and_residual
+            if not self.op.outflow_bcs_nitsche:
+                # the fused entry skips the (host-cached) Nitsche
+                # face-target hook, so keep the classic entry there
+                nl.prepare_residual = (
+                    lambda u: self._advance_and_residual(
+                        u, jnp.zeros_like(u)
+                    )[1:]
+                )
         self.nonlinear_solver = nl
 
         # ---- state ----------------------------------------------------------

@@ -34,6 +34,9 @@ class NonLinearSolverBase:
     # where the classic callbacks pay four (Newton only; falls back to
     # the classic sequence when unset or when `postprocess` is set)
     advance_and_residual: Optional[Callable] = None
+    # optional fused Newton entry: (u) -> (residual, ||residual||) with
+    # the Jacobian linearized at u (= advance with inc = 0)
+    prepare_residual: Optional[Callable] = None
     postprocess: Optional[Callable] = None
     logger: Optional[Callable] = None
 
@@ -73,9 +76,13 @@ class NonLinearSolverNewton(NonLinearSolverBase):
         self.last_iterations = 0
 
     def solve(self, solution):
-        self.setup_jacobian(solution)
-        rhs = self.evaluate_residual(solution)
-        l2 = float(acc_norm(rhs))
+        if self.prepare_residual is not None:
+            rhs, l2 = self.prepare_residual(solution)
+            l2 = float(l2)
+        else:
+            self.setup_jacobian(solution)
+            rhs = self.evaluate_residual(solution)
+            l2 = float(acc_norm(rhs))
         l2_0 = l2
         it = 0
         self._log(f"    [N] step {it}; residual = {l2:.6e}")
