@@ -80,8 +80,18 @@ def element_matrices(op: NavierStokesOperator, cells: np.ndarray | None = None,
     # bounded), and the result ships in ONE host fetch — the eager
     # per-chunk loop paid ~10 device round trips per rebuild on the
     # tunneled TPU.
-    emat_all = getattr(op, "_emat_all", None)
-    if emat_all is None:
+    _ensure_emat_all(op, chunk)
+    sel = np.arange(op.space.mesh.n_cells) if cells is None else np.asarray(cells)
+    return np.asarray(
+        op._emat_all(op.batch.jinv, op.batch.jxw, _cq_cell_tree(op),
+                     jnp.asarray(sel.astype(np.int32)))
+    )
+
+
+def _ensure_emat_all(op: NavierStokesOperator, chunk: int = 2048) -> None:
+    n_loc = op.space.element.n_loc
+    C = op.n_comp
+    if getattr(op, "_emat_all", None) is None:
         f = _local_apply(op)
 
         def emat(jinv, jxw, cq):
@@ -123,14 +133,51 @@ def element_matrices(op: NavierStokesOperator, cells: np.ndarray | None = None,
                 )
             return out
 
-        emat_all = jax.jit(impl)
-        op._emat_all = emat_all
+        op._emat_all = jax.jit(impl)
 
-    sel = np.arange(op.space.mesh.n_cells) if cells is None else np.asarray(cells)
-    return np.asarray(
-        emat_all(op.batch.jinv, op.batch.jxw, _cq_cell_tree(op),
-                 jnp.asarray(sel.astype(np.int32)))
-    )
+
+def assemble_dense_device(op: NavierStokesOperator) -> jnp.ndarray:
+    """Device-side :func:`assemble_dense`: element matrices, dense
+    scatter and the CᵀAC constraint sandwich in ONE jitted dispatch —
+    no element-matrix download (used by the GMG direct coarse solve,
+    rebuilt every preconditioner refresh). Small problems only (the
+    dense matrix lives on device)."""
+    _ensure_emat_all(op)
+    fn = getattr(op, "_dense_all", None)
+    if fn is None:
+        C = op.n_comp
+        n = op.n_nodes * C
+        gdofs = jnp.asarray(
+            (np.asarray(op.batch.cell_nodes)[:, :, None] * C
+             + np.arange(C)[None, None, :])
+            .reshape(op.space.mesh.n_cells, -1).astype(np.int32)
+        )
+        sel = jnp.arange(op.space.mesh.n_cells, dtype=jnp.int32)
+
+        def impl(jinv, jxw, cq, ca):
+            emat = op._emat_all(jinv, jxw, cq, sel)
+            A = jnp.zeros((n, n), op.dtype).at[
+                gdofs[:, :, None], gdofs[:, None, :]
+            ].add(emat)
+            if ca is not None:
+                rows, cols, wts = ca
+                w = wts.astype(op.dtype)
+                # A C: move constrained columns onto their masters
+                contrib = A[:, rows]                      # (n, m)
+                A = A.at[:, cols].add(contrib[:, :, None] * w[None])
+                A = A.at[:, rows].set(0.0)
+                # Cᵀ A: same on the row side
+                contribR = A[rows, :]                     # (m, n)
+                A = A.at[cols, :].add(w[:, :, None] * contribR[:, None, :])
+                A = A.at[rows, :].set(0.0)
+                A = A.at[rows, rows].set(1.0)
+            return A
+
+        fn = jax.jit(impl)
+        op._dense_all = fn
+    ca = op.constraints_homogeneous
+    ca_t = (ca.rows, ca.cols, ca.weights) if ca.n else None
+    return fn(op.batch.jinv, op.batch.jxw, _cq_cell_tree(op), ca_t)
 
 
 def diagonal_kernel(op: NavierStokesOperator, chunk: int = 2048):

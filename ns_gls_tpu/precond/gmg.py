@@ -396,15 +396,21 @@ class PreconditionerGMG:
             self._coarse_kind = "ilu"
         elif self.coarse_grid_solver in ("direct", "AMG"):
             if self.coarse_grid_solver == "direct" and n_coarse <= 8000:
-                A = assemble_dense(self.level_ops[0])  # f64 host
-                # TPU's LuDecomposition HLO implements only F32; the
-                # coarse solve is an f32-V-cycle component anyway, so
-                # factor in f32 there and keep f64 on CPU
-                lu_dt = (
-                    jnp.float64 if jax.default_backend() == "cpu"
-                    else jnp.float32
-                )
-                lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(A, lu_dt))
+                from ns_gls_tpu.ops.assembly import assemble_dense_device
+
+                # device-side assembly + CᵀAC sandwich (one dispatch —
+                # the host path downloaded element matrices and looped
+                # cells in numpy on every rebuild)
+                with timer("mg_init::coarse_lu"):
+                    A = assemble_dense_device(self.level_ops[0])
+                    # TPU's LuDecomposition HLO implements only F32; the
+                    # coarse solve is an f32-V-cycle component anyway, so
+                    # factor in f32 there and keep f64 on CPU
+                    lu_dt = (
+                        jnp.float64 if jax.default_backend() == "cpu"
+                        else jnp.float32
+                    )
+                    lu, piv = jax.scipy.linalg.lu_factor(A.astype(lu_dt))
                 coarse_lu = (lu, piv)
                 self._coarse_kind = "lu"
             else:

@@ -89,3 +89,52 @@ def test_no_time_derivative_flag():
     got = np.asarray(op.vmult(jnp.asarray(v)))
     want = (A @ v.reshape(-1)).reshape(v.shape)
     assert np.abs(got - want).max() < 1e-11 * max(np.abs(want).max(), 1.0)
+
+
+def test_assemble_dense_device_matches_host():
+    """Device-side dense assembly + CᵀAC sandwich (one dispatch, GMG
+    direct coarse) must reproduce the host assemble_dense, including
+    weighted (non-Dirichlet) constraint rows."""
+    import jax.numpy as jnp
+
+    from ns_gls_tpu.fem.constraints import AffineConstraints, distribute
+    from ns_gls_tpu.fem.space import FESpace
+    from ns_gls_tpu.mesh.generators import subdivided_hyper_rectangle
+    from ns_gls_tpu.ops.assembly import assemble_dense, assemble_dense_device
+    from ns_gls_tpu.ops.navier_stokes import NavierStokesOperator
+    from ns_gls_tpu.ops.time_integration import BDFIntegrator, SolutionHistory
+
+    mesh = subdivided_hyper_rectangle((3, 2), (0.0, 0.0), (1.5, 1.0),
+                                      colorize=True)
+    space = FESpace(mesh, 1)
+    C = 3
+    b = AffineConstraints(space.n_nodes, C)
+    bn = space.boundary_nodes([0])
+    b.add_dirichlet(bn, [0, 1], values=[[1.0, 0.0]] * len(bn))
+    # weighted constraint rows (slip-like): u_y(n) = -0.5 u_x(n)
+    top = [n for n in space.boundary_nodes([3]) if n not in set(bn)]
+    for n in top[:2]:
+        b.add_line(b.dof(n, 1), [(b.dof(n, 0), -0.5)], 0.0)
+    ca = b.close(jnp.float32)
+    ti = BDFIntegrator(1)
+    ti.update_dt(0.1)
+    op = NavierStokesOperator(
+        space, ca, ca, nu=0.05, c_1=4.0, c_2=2.0, time_integrator=ti,
+        consider_time_derivative=True, increment_form=True,
+        cell_wise_stabilization=True, dtype=jnp.float32,
+    )
+    op.constraints_inhomogeneous = ca
+    rng = np.random.default_rng(0)
+    u = distribute(
+        ca, jnp.asarray(rng.standard_normal((space.n_nodes, C)),
+                        jnp.float32)
+    )
+    op.set_previous_solution(SolutionHistory([u, u]))
+    op.set_linearization_point(u)
+
+    A_h = assemble_dense(op)
+    A_d = np.asarray(assemble_dense_device(op), dtype=np.float64)
+    scale = np.abs(A_h).max()
+    assert np.abs(A_h - A_d).max() <= 2e-5 * scale, (
+        np.abs(A_h - A_d).max() / scale
+    )
