@@ -196,24 +196,41 @@ class PreconditionerGMGLS:
         lam_min = lam_max / self.smoothing_range
         return 2.0 / (lam_min + lam_max)
 
-    def initialize(self):
-        from ns_gls_tpu.ops.assembly import (
-            assemble_dense,
-            compute_inverse_diagonal,
+    def _refresh_smoother_state(self):
+        """Fused single-dispatch refresh of (inv_diag, omega) for every
+        level (same treatment as PreconditionerGMG)."""
+        from ns_gls_tpu.ops.assembly import _diag_args, diagonal_kernel
+
+        fn = getattr(self, "_refresh_fn", None)
+        if fn is None:
+            kernels = [diagonal_kernel(op)[0] for op in self.level_ops]
+
+            def impl(diag_args, level_args):
+                outs = []
+                for lvl, k in enumerate(kernels):
+                    d = k(*diag_args[lvl])
+                    dinv = jnp.where(jnp.abs(d) > 1e-10, 1.0 / d, 1.0)
+                    om = self._estimate_omega_impl(
+                        level_args[lvl], dinv, lvl
+                    )
+                    outs.append((dinv, om))
+                return tuple(outs)
+
+            fn = jax.jit(impl)
+            self._refresh_fn = fn
+        return fn(
+            tuple(_diag_args(op) for op in self.level_ops),
+            tuple(op.vmult_args for op in self.level_ops),
         )
+
+    def initialize(self):
+        from ns_gls_tpu.ops.assembly import assemble_dense_device
         from ns_gls_tpu.utils.timer import timer
 
-        inv_diags = []
-        omegas = []
-        for lvl, op in enumerate(self.level_ops):
-            with timer("mg_ls_init::diagonal"):
-                d = compute_inverse_diagonal(op)
-                jax.block_until_ready(d)
-            inv_diags.append(d)
-            with timer("mg_ls_init::omega"):
-                om = self._estimate_omega(op.vmult_args, d, lvl)
-                float(om)
-            omegas.append(om)
+        with timer("mg_ls_init::smoother_state"):
+            outs = self._refresh_smoother_state()
+        inv_diags = [d for d, _ in outs]
+        omegas = [om for _, om in outs]
 
         coarse_lu = ()
         if self.coarse_grid_solver == "AMG":
@@ -227,12 +244,13 @@ class PreconditionerGMGLS:
             self._coarse_amg.initialize()
             coarse_lu = self._coarse_amg.vmult_args
         elif self.coarse_grid_solver != "identity":
-            A = assemble_dense(self.level_ops[0])
-            lu_dt = (
-                jnp.float64 if jax.default_backend() == "cpu"
-                else jnp.float32
-            )
-            lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(A, lu_dt))
+            with timer("mg_ls_init::coarse_lu"):
+                A = assemble_dense_device(self.level_ops[0])
+                lu_dt = (
+                    jnp.float64 if jax.default_backend() == "cpu"
+                    else jnp.float32
+                )
+                lu, piv = jax.scipy.linalg.lu_factor(A.astype(lu_dt))
             coarse_lu = (lu, piv)
 
         self._args = (
