@@ -7,8 +7,9 @@ gap widens the acceptance windows (calibrated against this framework's
 own converged series, validation/turek_2d_re100_ref2_q2_series.json);
 run with NS_CORRIDOR_REF=4 for near-published corridors.
 
-Cost: thousands of BDF-2 steps through shedding onset (~hours on CPU),
-so the test runs only when NS_CORRIDOR=1 — e.g.
+Cost: thousands of BDF-2 steps through shedding onset (~35 min on one
+CPU core after the round-3 dispatch fusions), kept opt-in via
+NS_CORRIDOR=1 — e.g.
     NS_CORRIDOR=1 python -m pytest tests/test_turek_unsteady.py -m slow
 Reference: ``simulation.cc:433-640`` + ``input/input_turek_2D_Re100.json``.
 """
