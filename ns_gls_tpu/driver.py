@@ -668,14 +668,51 @@ class Driver:
 
     def _can_fuse_levels(self) -> bool:
         """The fused per-level update chains cover the production
-        configurations (single device, global-coarsening hierarchy, no
-        Nitsche targets on level ops); anything else takes the
-        per-level calls."""
+        configurations (single device, no Nitsche targets on level
+        ops); anything else takes the per-level calls."""
         return (
             self.params.n_devices == 1
-            and getattr(self, "_ls_lvl2fin", None) is None
             and not any(op.outflow_bcs_nitsche for op in self.mg_ops)
         )
+
+    def _ls_idx(self):
+        """Device copies of the GMG-LS (level-active, fine) index pairs
+        (None for global coarsening)."""
+        ls = getattr(self, "_ls_lvl2fin", None)
+        if ls is None:
+            return None
+        idx = getattr(self, "_ls_idx_dev", None)
+        if idx is None:
+            idx = tuple(
+                (jnp.asarray(np.asarray(ln)), jnp.asarray(np.asarray(fn)))
+                for ln, fn in ls
+            )
+            self._ls_idx_dev = idx
+        return idx
+
+    def _level_chain(self, transfers, ls_idx, v):
+        """Trace-time interpolation cascade fine -> all levels; in the
+        GMG-LS flavor the active region copies fine values directly
+        (a linear selection, so the cascade stays linear)."""
+        n_l = len(self.mg_ops)
+        out = [None] * n_l
+        if ls_idx is None:
+            out[-1] = v
+            for l in range(n_l - 2, -1, -1):
+                out[l] = interpolate_to_coarse(transfers[l], out[l + 1])
+            return out
+        for l in range(n_l - 1, -1, -1):
+            w = (
+                interpolate_to_coarse(transfers[l], out[l + 1])
+                if l < n_l - 1
+                else jnp.zeros(
+                    (self.mg_spaces[l].n_nodes, self.params.dim + 1),
+                    v.dtype,
+                )
+            )
+            ln, fn = ls_idx[l]
+            out[l] = w.at[ln].set(v[fn])
+        return out
 
     def _fused_level_linearization(self, u):
         """Interpolation chain + every level's set_linearization_point in
@@ -686,17 +723,12 @@ class Driver:
             ops = tuple(self.mg_ops)
             mgdt = self.params.mg_dtype
 
-            def impl(transfers, batches, faces, states, u, weight, stau):
-                n_l = len(ops)
-                cur = u.astype(mgdt)
-                levels = [None] * n_l
-                levels[-1] = cur
-                for l in range(n_l - 2, -1, -1):
-                    levels[l] = interpolate_to_coarse(
-                        transfers[l], levels[l + 1]
-                    )
+            def impl(transfers, batches, faces, states, u, weight, stau,
+                     ls_idx):
+                levels = self._level_chain(transfers, ls_idx,
+                                           u.astype(mgdt))
                 out = []
-                for l in range(n_l):
+                for l in range(len(ops)):
                     st = states[l]._replace(weight=weight, stau=stau)
                     out.append(
                         ops[l]._set_linearization_impl(
@@ -717,6 +749,7 @@ class Driver:
             u,
             jnp.asarray(self.time_integrator.primary_weight, mgdt),
             jnp.asarray(0.0 if tau == 0.0 else 1.0 / tau, mgdt),
+            self._ls_idx(),
         )
         for op_l, st in zip(self.mg_ops, new_states):
             op_l._valid_system = False
@@ -811,17 +844,12 @@ class Driver:
             mgdt = self.params.mg_dtype
 
             def impl(transfers, batches, states, vec_old_f, u_old_f,
-                     weight, stau):
+                     weight, stau, ls_idx):
                 n_l = len(ops)
 
                 def chain(v):
-                    out = [None] * n_l
-                    out[-1] = v.astype(mgdt)
-                    for l in range(n_l - 2, -1, -1):
-                        out[l] = interpolate_to_coarse(
-                            transfers[l], out[l + 1]
-                        )
-                    return out
+                    return self._level_chain(transfers, ls_idx,
+                                             v.astype(mgdt))
 
                 vo = chain(vec_old_f)
                 uo = (chain(u_old_f) if ops[0].theta != 1.0
@@ -856,6 +884,7 @@ class Driver:
             self.solution.vectors[1],
             jnp.asarray(self.time_integrator.primary_weight, mgdt),
             jnp.asarray(0.0 if tau == 0.0 else 1.0 / tau, mgdt),
+            self._ls_idx(),
         )
         for op_l, st in zip(self.mg_ops, new_states):
             op_l._valid_system = False
