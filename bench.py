@@ -158,7 +158,28 @@ def roofline_seconds(op, space, dtype) -> float:
 
 
 def main():
+    import subprocess
+
     from ns_gls_tpu.utils.precision import ensure_tpu_matmul_precision
+
+    # the tunneled-TPU backend init HANGS indefinitely (inside native
+    # code — signals don't fire) when the relay is down (observed: a
+    # multi-hour pool outage). Probe in a subprocess first and fail
+    # fast with a recordable error line instead of wedging the caller.
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=240, check=True, capture_output=True,
+        )
+    except Exception as e:
+        print(json.dumps({
+            "metric": "ns_vmult_mdof_per_s",
+            "value": 0.0,
+            "unit": f"ERROR: device backend init failed "
+                    f"({type(e).__name__}; TPU tunnel down?)",
+            "vs_baseline": 0.0,
+        }))
+        raise SystemExit(1)
 
     ensure_tpu_matmul_precision()
     jax.config.update(
