@@ -237,6 +237,16 @@ class HaloShardedOperator:
             node_gather=(),
         )
         self._cells_of = cells_of
+        # padded partition gather map: per-cell state tables are chunked
+        # device-major with ONE gather (pad rows point at a trailing zero
+        # cell) instead of per-device at[].set loops — keeps the sharded
+        # path on the single-device dispatch-fusion standard
+        cells_pad = np.full((n_dev, chunk), n_c, np.int64)
+        for d, cd in enumerate(cells_of):
+            cells_pad[d, : len(cd)] = cd
+        self._cells_pad = jnp.asarray(cells_pad.astype(np.int32))
+        self._localize_state = None
+        self._args_cache = None
 
         # ---- constraints localized to the windows ---------------------
         self._g2l = g2l
@@ -346,6 +356,7 @@ class HaloShardedOperator:
     def _set_cstr_inhom(self, ci: ConstraintArrays):
         """(Re)localize the inhomogeneous set.  Structure (rows/cols/
         weights) is time-independent; only the values change per step."""
+        self._args_cache = None
         if self._ci_struct is None:
             self._ci_struct = self._localize_cstr(ci, owned_only=False)
             self._ci_sel = self._last_sel
@@ -361,55 +372,66 @@ class HaloShardedOperator:
     # ------------------------------------------------------------------
     def _local_state(self):
         """Localize op.state: per-cell tables chunked by the partition,
-        node-vector tables gathered into the local windows."""
-        op = self.op
-        st = op.state
-        n_dev, chunk = self.n_dev, self.chunk
+        node-vector tables gathered into the local windows.
 
-        def chunk_cells(x):
-            if x.shape[0] == 0:
-                return x
-            out = jnp.zeros((n_dev, chunk) + x.shape[1:], x.dtype)
-            for d, cd in enumerate(self._cells_of):
-                out = out.at[d, : len(cd)].set(x[cd])
-            return out
+        The whole localization is ONE jitted dispatch (padded partition
+        gather + window gathers) — the sharded analogue of the
+        single-device dispatch-fusion discipline; the old per-device
+        ``at[d].set`` loops issued ~10 fields x n_dev device ops every
+        rebuild."""
+        if self._localize_state is None:
+            cells_pad = self._cells_pad
+            loc_global = self._loc_global
+            face_srcs = tuple(fb.src for fb in self.face_blocks)
 
-        def window(x):
-            if x.shape[0] == 0:
-                return x
-            return x[self._loc_global]       # (n_dev, n_loc+1, C)
+            def chunk_cells(x):
+                if x.shape[0] == 0:
+                    return x
+                xz = jnp.concatenate(
+                    [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0
+                )
+                return xz[cells_pad]
 
-        face_v = tuple(
-            self._face_chunk(k, x) for k, x in enumerate(st.face_velocity)
-        )
-        face_t = tuple(
-            self._face_chunk(k, x) for k, x in enumerate(st.face_target)
-        )
-        return st._replace(
-            u_star=chunk_cells(st.u_star),
-            grad_u_star=chunk_cells(st.grad_u_star),
-            grad_p_star=chunk_cells(st.grad_p_star),
-            dt_u_old=chunk_cells(st.dt_u_old),
-            u_old_grad=chunk_cells(st.u_old_grad),
-            p_old_grad=chunk_cells(st.p_old_grad),
-            delta1=chunk_cells(st.delta1),
-            delta2=chunk_cells(st.delta2),
-            face_velocity=face_v,
-            face_target=face_t,
-            u_lin=window(st.u_lin),
-            vec_old=window(st.vec_old),
-            u_old=window(st.u_old),
-            u_linT=jnp.zeros((0,), st.u_linT.dtype),
-            vec_oldT=jnp.zeros((0,), st.vec_oldT.dtype),
-        )
+            def window(x):
+                if x.shape[0] == 0:
+                    return x
+                return x[loc_global]         # (n_dev, n_loc+1, C)
 
-    def _face_chunk(self, k, x):
-        if not isinstance(x, jnp.ndarray) and not isinstance(x, np.ndarray):
-            return x
-        if getattr(x, "shape", (0,))[0] == 0:
-            return x
-        fb = self.face_blocks[k]
-        return x[fb.src]                     # (n_dev, n_bf, ...)
+            def face_chunk(k, x):
+                if not isinstance(x, (jnp.ndarray, np.ndarray)):
+                    return x
+                if getattr(x, "shape", (0,))[0] == 0:
+                    return x
+                return x[face_srcs[k]]       # (n_dev, n_bf, ...)
+
+            def localize(st):
+                face_v = tuple(
+                    face_chunk(k, x)
+                    for k, x in enumerate(st.face_velocity)
+                )
+                face_t = tuple(
+                    face_chunk(k, x) for k, x in enumerate(st.face_target)
+                )
+                return st._replace(
+                    u_star=chunk_cells(st.u_star),
+                    grad_u_star=chunk_cells(st.grad_u_star),
+                    grad_p_star=chunk_cells(st.grad_p_star),
+                    dt_u_old=chunk_cells(st.dt_u_old),
+                    u_old_grad=chunk_cells(st.u_old_grad),
+                    p_old_grad=chunk_cells(st.p_old_grad),
+                    delta1=chunk_cells(st.delta1),
+                    delta2=chunk_cells(st.delta2),
+                    face_velocity=face_v,
+                    face_target=face_t,
+                    u_lin=window(st.u_lin),
+                    vec_old=window(st.vec_old),
+                    u_old=window(st.u_old),
+                    u_linT=jnp.zeros((0,), st.u_linT.dtype),
+                    vec_oldT=jnp.zeros((0,), st.vec_oldT.dtype),
+                )
+
+            self._localize_state = jax.jit(localize)
+        return self._localize_state(self.op.state)
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -418,7 +440,6 @@ class HaloShardedOperator:
         n_loc = self.n_loc
         n_own_max = self.n_own_max
         rounds = self._rounds
-        from jax.experimental.shard_map import shard_map
 
         def exchange_fill(w):
             """Owned -> ghost value transfer (update_ghost_values)."""
@@ -544,12 +565,12 @@ class HaloShardedOperator:
         mesh = self.mesh
 
         def make(residual_form):
-            fn = shard_map(
+            fn = jax.shard_map(
                 lambda args, u: local_sweep(args, u, residual_form),
                 mesh=mesh,
                 in_specs=(specs_template, P(AXIS)),
                 out_specs=P(AXIS),
-                check_rep=False,
+                check_vma=False,
             )
             return fn
 
@@ -561,8 +582,15 @@ class HaloShardedOperator:
             return copy_constrained_own(args.cstr_own, r, u)
 
         def residual_fn(args: HaloArgs, u):
-            r = sweep_res(args, u)
-            return -r
+            # Newton rhs AND convergence test — must carry the same
+            # exact-f32 treatment as the unsharded residual_fn
+            # (ops/navier_stokes.py:661-689): TPU's default bf16x3
+            # einsums leave a ~3e-3 additive floor on large-magnitude
+            # states that stalls Newton; HIGHEST restores f64-matching
+            # residuals at once-per-Newton-iteration cost.
+            with jax.default_matmul_precision("highest"):
+                r = sweep_res(args, u)
+                return -r
 
         self.vmult_pure = vmult_fn
         self.residual_pure = residual_fn
@@ -632,7 +660,14 @@ class HaloShardedOperator:
     # ------------------------------------------------------------------
     @property
     def vmult_args(self) -> HaloArgs:
-        return self._args_template()
+        """Cached localized-args pytree: rebuilt only after
+        linearization / history / constraint updates.  The Jacobian
+        solve reads this every Newton iteration — rebuilding each time
+        reintroduced the per-step dispatch storm on the multi-chip path
+        (round-3 review weak #3)."""
+        if self._args_cache is None:
+            self._args_cache = self._args_template()
+        return self._args_cache
 
     def vmult(self, u):
         return self.to_global(self._vmult(self.vmult_args, self.to_dist(u)))
@@ -647,17 +682,23 @@ class HaloShardedOperator:
         return self.evaluate_residual(zero)
 
     # -- OperatorBase surface delegated to the wrapped operator ----------
+    # (every delegate that can change op.state invalidates the cached
+    # localized args)
     def set_linearization_point(self, u):
         self.op.set_linearization_point(u)
+        self._args_cache = None
 
     def set_previous_solution(self, history):
         self.op.set_previous_solution(history)
+        self._args_cache = None
 
     def invalidate_system(self):
         self.op.invalidate_system()
+        self._args_cache = None
 
     def update_weight(self):
         self.op.update_weight()
+        self._args_cache = None
 
     def get_max_u(self, u):
         return self.op.get_max_u(u)
@@ -813,8 +854,6 @@ class HaloTransferOps:
         self._build()
 
     def _build(self):
-        from jax.experimental.shard_map import shard_map
-
         n_win = self.n_win
         n_own_c = self.n_own_c
         pairs_all = self._pairs
@@ -861,11 +900,11 @@ class HaloTransferOps:
             return rc[:n_own_c][None]
 
         mesh = self.mesh
-        self.prolongate_pure = shard_map(
+        self.prolongate_pure = jax.shard_map(
             prolongate_local, mesh=mesh, in_specs=(spec, P(AXIS)),
-            out_specs=P(AXIS), check_rep=False,
+            out_specs=P(AXIS), check_vma=False,
         )
-        self.restrict_pure = shard_map(
+        self.restrict_pure = jax.shard_map(
             restrict_local, mesh=mesh, in_specs=(spec, P(AXIS)),
-            out_specs=P(AXIS), check_rep=False,
+            out_specs=P(AXIS), check_vma=False,
         )

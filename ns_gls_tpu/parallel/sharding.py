@@ -183,8 +183,6 @@ class ShardedOperator:
         mesh = self.mesh
         ch = op.constraints_homogeneous
         n_nodes, n_comp = op.n_nodes, op.n_comp
-        from jax.experimental.shard_map import shard_map
-
         from ns_gls_tpu.ops.navier_stokes import fe_evaluate, fe_integrate
 
         def local_sweep(batch, faces, state, u_eff, residual_form):
@@ -249,7 +247,7 @@ class ShardedOperator:
         sspecs = state_specs(op.state)
 
         def make(residual_form):
-            return shard_map(
+            return jax.shard_map(
                 lambda batch, faces, state, u: local_sweep(
                     batch, faces, state, u, residual_form
                 ),
@@ -269,12 +267,17 @@ class ShardedOperator:
             return cstr.copy_constrained(ch, r, u)
 
         def residual_fn(args, ca_inhom, u):
-            batch, faces, state = args
-            tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
-            r = sweep_res(batch, faces, state, tmp)
-            # Cᵀ on the write side (matches NavierStokesOperator.residual):
-            # master rows must receive hanging-slave contributions.
-            return -cstr.condense_transpose(ch, r)
+            # exact-f32 Newton rhs, matching the unsharded residual_fn
+            # (ops/navier_stokes.py:661-689) — default bf16x3 einsums
+            # leave an additive residual floor that stalls Newton
+            with jax.default_matmul_precision("highest"):
+                batch, faces, state = args
+                tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
+                r = sweep_res(batch, faces, state, tmp)
+                # Cᵀ on the write side (matches NavierStokesOperator
+                # .residual): master rows must receive hanging-slave
+                # contributions.
+                return -cstr.condense_transpose(ch, r)
 
         self.vmult_pure = vmult_fn
         self._vmult = jax.jit(vmult_fn)
