@@ -117,11 +117,21 @@ if __name__ == "__main__":
     except Exception as e:
         # first Mosaic compile of the wide kernel schedules happens
         # here when run on a fresh chip; retry once with the narrow
-        # per-(comp, plane) kernels so the lane still reports a number
+        # per-(comp, plane) kernels so the lane still reports a number.
+        # Only compile/lowering failures are retried — anything else
+        # (bad args, OOM, tunnel outage) surfaces immediately with its
+        # traceback rather than silently doubling a long run.
         import os
         import sys as _sys
+        import traceback
 
-        if os.environ.get("NS_WIDE") == "0":
+        traceback.print_exc()
+        looks_like_compile = any(
+            s in f"{type(e).__name__}: {e}"
+            for s in ("Mosaic", "XlaRuntimeError", "lowering",
+                      "Unimplemented", "INTERNAL", "UNIMPLEMENTED")
+        )
+        if os.environ.get("NS_WIDE") == "0" or not looks_like_compile:
             raise
         print(f"wide kernel failed ({type(e).__name__}); retrying narrow "
               "(NS_WIDE=0)", file=_sys.stderr)

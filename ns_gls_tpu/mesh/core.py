@@ -616,6 +616,10 @@ class Mesh:
         return np.argsort(code, kind="stable")
 
     def reorder(self, perm: np.ndarray) -> "Mesh":
+        # dataclasses.replace carries every unlisted field over, so the
+        # permutation-independent metadata (lattice_shape, extr_mesh2d,
+        # extr_nz, manifolds, prev) is preserved automatically; only the
+        # per-cell tables need the explicit [perm].
         return dataclasses.replace(
             self,
             cells=self.cells[perm],

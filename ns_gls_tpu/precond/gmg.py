@@ -179,11 +179,20 @@ class PreconditionerGMG:
             if jax.default_backend() == "tpu":
                 from ns_gls_tpu.solvers.linear import gmres_fixed
 
+                # fori-loop iterations past convergence are masked no-ops
+                # but still EXECUTE, so the static cap trades V-cycle
+                # quality against guaranteed runtime: 2 cycles (60 its)
+                # suffices for every reference config; a coarse problem
+                # needing more can raise NS_COARSE_CYCLES up to the CPU
+                # cap (10 cycles = 300 its) at proportional cost.
+                import os
+
+                n_cyc = int(os.environ.get("NS_COARSE_CYCLES", "2"))
                 res = gmres_fixed(
                     level_fns[0], args.level_args[0], r, jnp.zeros_like(r),
                     M=lambda a, x: capply(x), m_args=(),
                     tol=tol, restart=30,
-                    n_cycles=2,
+                    n_cycles=n_cyc,
                 )
             else:
                 from ns_gls_tpu.solvers.linear import gmres

@@ -106,11 +106,15 @@ class NonLinearSolverNewton(NonLinearSolverBase):
                 l2_prev, l2 = l2, float(acc_norm(rhs))
             it += 1
             self._log(f"    [N] step {it}; residual = {l2:.6e}")
-            if (self.relative and it >= 2 and l2 > 0.5 * l2_prev
+            if (self.relative and it >= 2 and l2 >= l2_prev
                     and l2 <= 1e-2 * l2_0):
                 # f32 residual-evaluation noise floor reached: the
-                # residual stopped decreasing two orders below the step's
-                # starting point — iterating further only burns solves
+                # residual stopped DECREASING AT ALL two orders below the
+                # step's starting point.  Requiring an outright
+                # non-decrease (not merely a missed halving) keeps slowly
+                # but genuinely converging Newton phases (linear-rate
+                # near shedding onset) iterating toward tol instead of
+                # being cut off early.
                 self._log("    [N] stalled at the f32 residual floor; "
                           "accepting.")
                 break
