@@ -114,32 +114,19 @@ def _cg_rank(i: np.ndarray, n: int, P: int) -> np.ndarray:
     return off + e
 
 
-def build_prism_tables(op):
-    """Host-side packing; None when the operator/space is unsupported."""
-    space = op.space
-    if not getattr(space, "prism", False):
-        return None
-    if op.theta != 1.0 or op.dtype != jnp.float32:
-        return None
+def prism_bands(P, NQ, mx, nz, Nzn, G):
+    """The replicated basis tables of the prism kernel (G-dependent):
+    z band, block-diagonal patch-x band, 1D tables, z quadrature row."""
+    from ns_gls_tpu.fem.lagrange import (
+        eval_lagrange,
+        gauss_lobatto_points_1d,
+        gauss_points_1d,
+    )
 
-    from ns_gls_tpu.fem.lagrange import eval_lagrange, gauss_lobatto_points_1d, gauss_points_1d
-
-    P = space.degree
-    NQ = space.n_q1d
-    mx = my = space.patch_cells
-    nz = space.nz_cells
     Xr = P * mx + 1
-    Nzn = space.nz_nodes
-    L = NQ * nz
-    Xn = P * mx + 1            # 2D patch lattice extent per axis
-    n_patches = space.n_patches
-    C = space.dim + 1
-    G = _pick_G(n_patches, Xr, NQ, mx, nz, Nzn, C, P)
-    n_groups = -(-n_patches // G)
-    XrG = G * Xr
     RG = G * NQ * mx
-    PlY = P * my + 1
-
+    XrG = G * Xr
+    L = NQ * nz
     nodes = gauss_lobatto_points_1d(P + 1)
     qpts, qw = gauss_points_1d(NQ)
     S1, D1 = eval_lagrange(tuple(nodes), np.asarray(qpts))  # (NQ, P+1)
@@ -167,10 +154,26 @@ def build_prism_tables(op):
     wz = np.zeros((1, L), np.float32)
     for qz in range(NQ):
         wz[0, qz * nz:(qz + 1) * nz] = qw[qz]
+    return dict(band_S=band_S, band_D=band_D, bx_S=bx_S, bx_D=bx_D,
+                S1=S1.astype(np.float32), D1=D1.astype(np.float32), wz=wz)
 
-    # ---- per-(cell2d, q2d) geometry, verified prismatic ----------------
+
+def prism_cell_geometry(op):
+    """Per-2D-cell prismatic geometry (qz-independent factors), or None
+    when the operator/space is unsupported.  Returns a dict with
+    ``ji`` (n_c2d, NQ^2, r, x), ``jxw_col`` (n_c2d, NQ^2), ``h1``/``hq``
+    (n_c2d,) — the inputs of :func:`pack_prism_geometry`."""
+    space = op.space
+    if not getattr(space, "prism", False):
+        return None
+    if op.theta != 1.0 or op.dtype != jnp.float32:
+        return None
+    from ns_gls_tpu.fem.lagrange import gauss_points_1d
+
+    NQ = space.n_q1d
+    _, qw = gauss_points_1d(NQ)
     mesh = space.mesh
-    n_c2d = space.mesh.extr_mesh2d.n_cells
+    n_c2d = mesh.extr_mesh2d.n_cells
     col0 = np.full(n_c2d, -1, np.int64)   # a layer-0 3D cell per 2D cell
     sel = mesh.extr_layer == 0
     col0[mesh.extr_cell2d[sel]] = np.nonzero(sel)[0]
@@ -178,7 +181,6 @@ def build_prism_tables(op):
 
     J = np.linalg.inv(space.jinv)        # (c, q, x, r)
     scale = np.abs(J).max()
-    n_q = J.shape[1]
     # prismatic checks: z column/row decoupled, J2d and dz constant in qz
     # and (cheaply, via the layer-0 representative) usable for the column
     if np.abs(J[:, :, :2, 2]).max() > 1e-9 * scale:
@@ -191,23 +193,39 @@ def build_prism_tables(op):
     # all layers of a column share J2d (prismatic extrusion)
     ji = space.jinv[col0][:, : NQ * NQ]   # (n_c2d, NQ^2, r, x), qz = 0
     jxw_col = space.jxw[col0][:, : NQ * NQ] / qw[0]
+    h1 = space.cell_h_min_vertex[col0]
+    hq = np.cbrt(6.0 * space.cell_measure[col0] / np.pi) / space.degree
+    return dict(ji=np.asarray(ji), jxw_col=np.asarray(jxw_col),
+                h1=np.asarray(h1), hq=np.asarray(hq))
 
-    # lattice address of each 2D cell inside its patch
-    patch = space.patch_of_cell2d
-    lat = space.lattice_of_cell2d
+
+def pack_prism_geometry(geo, sel, patch_slot, lat, dims):
+    """Pack per-2D-cell geometry into the kernel's patch-grouped layout.
+
+    ``sel``: indices of the 2D cells to pack; ``patch_slot``: the packing
+    slot (0-based, slot//G = group, slot%G = in-group position) of each
+    selected cell's patch; ``lat``: its lattice address.  Returns
+    (jinv2, jxw2, h) numpy arrays for ``n_slots`` patch slots."""
+    NQ, mx, my, G, n_groups = (
+        dims["NQ"], dims["mx"], dims["my"], dims["G"], dims["n_groups"]
+    )
+    RG = G * NQ * mx
+    n_sel = len(sel)
 
     def pack_cells(vals, fill=0.0):
-        """(n_c2d, NQ, NQ) (qy, qx) values -> (NQ, n_groups*my, RG, 1)."""
+        """(n_sel, NQ, NQ) (qy, qx) values -> (NQ, n_groups*my, RG, 1)."""
         out = np.full((NQ, n_groups * my, RG, 1), fill, np.float32)
-        gg = patch // G
-        g = patch % G
+        gg = patch_slot // G
+        g = patch_slot % G
         for qy in range(NQ):
             for qx in range(NQ):
                 rows = g * NQ * mx + qx * mx + lat[:, 0]
                 out[qy, gg * my + lat[:, 1], rows, 0] = vals[:, qy, qx]
         return out
 
-    vq = lambda a: a.reshape(n_c2d, NQ, NQ)   # q2d = qx + NQ*qy -> [qy, qx]
+    ji = geo["ji"][sel]
+    jxw_col = geo["jxw_col"][sel]
+    vq = lambda a: a.reshape(n_sel, NQ, NQ)  # q2d = qx + NQ*qy -> [qy, qx]
     jinv2 = np.stack(
         [
             pack_cells(vq(ji[:, :, 0, 0])),
@@ -218,18 +236,50 @@ def build_prism_tables(op):
         ]
     )
     jxw2 = pack_cells(vq(jxw_col))
-
-    h1 = space.cell_h_min_vertex[col0]
-    hq = np.cbrt(6.0 * space.cell_measure[col0] / np.pi) / P
     # h is q-independent: take the qy=0 slice of the cell packing
+    h1 = geo["h1"][sel]
+    hq = geo["hq"][sel]
     hp = np.stack(
         [
-            pack_cells(np.broadcast_to(h1[:, None, None], (n_c2d, NQ, NQ)),
+            pack_cells(np.broadcast_to(h1[:, None, None], (n_sel, NQ, NQ)),
                        fill=1.0)[0],
-            pack_cells(np.broadcast_to(hq[:, None, None], (n_c2d, NQ, NQ)),
+            pack_cells(np.broadcast_to(hq[:, None, None], (n_sel, NQ, NQ)),
                        fill=1.0)[0],
         ]
     )                                   # (2, n_gm, RG, 1)
+    return jinv2, jxw2, hp
+
+
+def build_prism_tables(op):
+    """Host-side packing; None when the operator/space is unsupported."""
+    space = op.space
+    geo = prism_cell_geometry(op)
+    if geo is None:
+        return None
+
+    P = space.degree
+    NQ = space.n_q1d
+    mx = my = space.patch_cells
+    nz = space.nz_cells
+    Xr = P * mx + 1
+    Nzn = space.nz_nodes
+    Xn = P * mx + 1            # 2D patch lattice extent per axis
+    n_patches = space.n_patches
+    C = space.dim + 1
+    G = _pick_G(n_patches, Xr, NQ, mx, nz, Nzn, C, P)
+    n_groups = -(-n_patches // G)
+    PlY = P * my + 1
+
+    bands = prism_bands(P, NQ, mx, nz, Nzn, G)
+    dims = dict(NQ=NQ, mx=mx, my=my, G=G, n_groups=n_groups)
+
+    # lattice address of each 2D cell inside its patch; the global
+    # packing slot of patch p is p itself
+    patch = space.patch_of_cell2d
+    lat = space.lattice_of_cell2d
+    jinv2, jxw2, hp = pack_prism_geometry(
+        geo, np.arange(len(patch)), patch, lat, dims
+    )
 
     # ---- gather / compress maps ----------------------------------------
     cgy = _cg_rank(np.arange(Xn), my, P)
@@ -260,15 +310,15 @@ def build_prism_tables(op):
         n0 = n1
 
     return PrismTables(
-        band_S=jnp.asarray(band_S),
-        band_D=jnp.asarray(band_D),
-        bx_S=jnp.asarray(bx_S),
-        bx_D=jnp.asarray(bx_D),
-        bx_ST=jnp.asarray(bx_S.T.copy()),
-        bx_DT=jnp.asarray(bx_D.T.copy()),
-        S1=jnp.asarray(S1.astype(np.float32)),
-        D1=jnp.asarray(D1.astype(np.float32)),
-        wz=jnp.asarray(wz),
+        band_S=jnp.asarray(bands["band_S"]),
+        band_D=jnp.asarray(bands["band_D"]),
+        bx_S=jnp.asarray(bands["bx_S"]),
+        bx_D=jnp.asarray(bands["bx_D"]),
+        bx_ST=jnp.asarray(bands["bx_S"].T.copy()),
+        bx_DT=jnp.asarray(bands["bx_D"].T.copy()),
+        S1=jnp.asarray(bands["S1"]),
+        D1=jnp.asarray(bands["D1"]),
+        wz=jnp.asarray(bands["wz"]),
         jinv2=jnp.asarray(jinv2),
         jxw2=jnp.asarray(jxw2),
         h=jnp.asarray(hp),
@@ -683,7 +733,11 @@ class PrismSweep:
         parts.append(cls0)
         planes = jnp.concatenate(parts, axis=2)  # (C, ng, PlY, XrG, Nzn)
 
-        # seam compress: dense multiplicity-class row gathers
+        # seam compress: dense multiplicity-class row gathers.  A zero
+        # row is appended so padded class rows (the sharded builder,
+        # parallel/halo_prism.py) have a harmless gather target; global
+        # compress maps never reference it.
         flat = planes.reshape(C, -1, self.Nzn)
+        flat = jnp.concatenate([flat, jnp.zeros_like(flat[:, :1])], axis=1)
         outs = [flat[:, idx].sum(axis=2) for idx in tables.compress]
         return jnp.concatenate(outs, axis=1)     # (C, n2d, Nzn)

@@ -80,6 +80,8 @@ class HaloArgs(NamedTuple):
     cstr_h: ConstraintArrays    # homogeneous, local slots (all rows seen)
     cstr_own: ConstraintArrays  # homogeneous rows owned by the device
     cstr_i: ConstraintArrays    # inhomogeneous, local slots
+    prism: tuple = ()       # (HaloPrismArgs,) when the distributed prism
+    #                         fast path is active (parallel/halo_prism.py)
 
 
 def _pad_rows(a: np.ndarray, n: int, fill=0):
@@ -109,11 +111,29 @@ class HaloShardedOperator:
         cell_nodes = np.asarray(space.cell_nodes)
 
         # ---- SFC partition (p4est analogue) ---------------------------
-        perm = space.mesh.sfc_order()
-        self.chunk = chunk = -(-n_c // n_dev)
-        cells_of = [
-            perm[d * chunk: min((d + 1) * chunk, n_c)] for d in range(n_dev)
-        ]
+        # Extruded meshes with a prism fast path partition by 2D patch
+        # (whole z-columns per device) so the Pallas prism sweep can run
+        # as the local sweep (parallel/halo_prism.py); everything else
+        # partitions by Morton-ordered cell chunks.
+        import os
+
+        patches_of = None
+        if (getattr(op, "_psweep", None) is not None
+                and os.environ.get("NS_HALO_PRISM", "1") != "0"):
+            from ns_gls_tpu.parallel.halo_prism import prism_patch_partition
+
+            part = prism_patch_partition(space, n_dev)
+            if part is not None:
+                cells_of, patches_of = part
+                chunk = max(len(cd) for cd in cells_of)
+        if patches_of is None:
+            perm = space.mesh.sfc_order()
+            chunk = -(-n_c // n_dev)
+            cells_of = [
+                perm[d * chunk: min((d + 1) * chunk, n_c)]
+                for d in range(n_dev)
+            ]
+        self.chunk = chunk
 
         # ---- ownership + local windows --------------------------------
         touched = [np.unique(cell_nodes[cd]) for cd in cells_of]
@@ -247,6 +267,21 @@ class HaloShardedOperator:
         self._cells_pad = jnp.asarray(cells_pad.astype(np.int32))
         self._localize_state = None
         self._args_cache = None
+
+        # ---- distributed prism fast path -------------------------------
+        # per-device prism tables: the local window of each device IS a
+        # (local 2D factor) x (full z) product under the patch partition
+        self._halo_prism = None
+        self._prism_sweep = None
+        self._prism_lin_idx = None
+        if patches_of is not None:
+            from ns_gls_tpu.parallel.halo_prism import build_halo_prism
+
+            built = build_halo_prism(op, patches_of, g2l, n_loc)
+            if built is not None:
+                self._halo_prism, self._prism_sweep, self._prism_lin_idx = (
+                    built
+                )
 
         # ---- constraints localized to the windows ---------------------
         self._g2l = g2l
@@ -383,6 +418,20 @@ class HaloShardedOperator:
             cells_pad = self._cells_pad
             loc_global = self._loc_global
             face_srcs = tuple(fb.src for fb in self.face_blocks)
+            prism_idx = self._prism_lin_idx
+            if prism_idx is not None:
+                n2d = self.op.space.n2d
+                Nzn = self._prism_sweep.Nzn
+                dim = self.op.space.dim
+
+                def planes_of(x, lead):
+                    """Global (n_nodes, C) -> per-device patch planes
+                    (n_dev, lead, nGP, XrG, Nzn); pads read the zero row."""
+                    v = x.T[:lead].reshape(lead, n2d, Nzn)
+                    vz = jnp.concatenate(
+                        [v, jnp.zeros((lead, 1, Nzn), v.dtype)], axis=1
+                    )
+                    return jnp.moveaxis(vz[:, prism_idx], 1, 0)
 
             def chunk_cells(x):
                 if x.shape[0] == 0:
@@ -412,6 +461,12 @@ class HaloShardedOperator:
                 face_t = tuple(
                     face_chunk(k, x) for k, x in enumerate(st.face_target)
                 )
+                if prism_idx is not None:
+                    u_linT = planes_of(st.u_lin, st.u_lin.shape[1])
+                    vec_oldT = planes_of(st.vec_old, dim)
+                else:
+                    u_linT = jnp.zeros((0,), st.u_linT.dtype)
+                    vec_oldT = jnp.zeros((0,), st.vec_oldT.dtype)
                 return st._replace(
                     u_star=chunk_cells(st.u_star),
                     grad_u_star=chunk_cells(st.grad_u_star),
@@ -426,8 +481,8 @@ class HaloShardedOperator:
                     u_lin=window(st.u_lin),
                     vec_old=window(st.vec_old),
                     u_old=window(st.u_old),
-                    u_linT=jnp.zeros((0,), st.u_linT.dtype),
-                    vec_oldT=jnp.zeros((0,), st.vec_oldT.dtype),
+                    u_linT=u_linT,
+                    vec_oldT=vec_oldT,
                 )
 
             self._localize_state = jax.jit(localize)
@@ -496,19 +551,41 @@ class HaloShardedOperator:
                 lambda s, x: x[0] if s == P(AXIS) else x, spec_tree, t
             )
 
-        def local_sweep(args: HaloArgs, u_own, residual_form):
-            batch = sq(specs_template.batch, args.batch)
-            state = sq(specs_template.state, args.state)
-            # [owned | ghost | trash] window, one trash slot (+1)
-            w = jnp.zeros((n_loc + 1, C), op.dtype)
-            w = w.at[:n_own_max].set(u_own[0])
-            w = exchange_fill(w)
-            ca = sq(
-                specs_template.cstr_i,
-                args.cstr_i if residual_form else args.cstr_h,
-            )
-            w = cdistribute(ca, w, homogeneous=not residual_form)
+        psweep = self._prism_sweep
 
+        def prism_cells(args: HaloArgs, state, w, residual_form):
+            """Per-device fused prism sweep (parallel/halo_prism.py):
+            whole-column window gather -> Pallas kernel -> seam-compressed
+            column scatter-add.  The reverse ghost exchange after this
+            sums the inter-device seam partials, exactly as for the
+            general sweep."""
+            pa = sq(specs_template.prism[0], args.prism[0])
+            Nzn = psweep.Nzn
+            zr = jnp.arange(Nzn, dtype=jnp.int32)
+            # window + Nzn zero rows: padded gather columns land there
+            wg = jnp.concatenate(
+                [w[:n_loc], jnp.zeros((Nzn, C), w.dtype)], axis=0
+            )
+            gslot = pa.tables.gather_nodes.reshape(-1, psweep.XrG)
+            uP = wg[gslot[:, :, None] + zr[None, None, :]]
+            uP = jnp.moveaxis(uP, -1, 0)         # (C, nGP, XrG, Nzn)
+            flavor = (
+                "residual" if residual_form
+                else ("increment" if op.increment_form else "fixed")
+            )
+            r2d = psweep.apply(
+                pa.tables, state.weight, state.stau, uP,
+                state.u_linT, state.vec_oldT, flavor,
+            )                                    # (C, n2d_cat, Nzn)
+            rbuf = jnp.zeros((n_loc + Nzn, C), op.dtype)
+            idx = pa.oslot[:, None] + zr[None, :]
+            rbuf = rbuf.at[idx].add(jnp.moveaxis(r2d, 0, -1))
+            return jnp.concatenate(
+                [rbuf[:n_loc], jnp.zeros((1, C), op.dtype)], axis=0
+            )
+
+        def general_cells(args: HaloArgs, state, w, residual_form):
+            batch = sq(specs_template.batch, args.batch)
             if op.fuse_tables:
                 cq = op._fused_cq(batch, state)
             else:
@@ -532,7 +609,24 @@ class HaloShardedOperator:
                 batch.S, batch.D, batch.jinv, batch.jxw, val_res, grad_res
             )
             r = jnp.zeros((n_loc + 1, C), op.dtype)
-            r = r.at[batch.cell_nodes].add(r_loc)
+            return r.at[batch.cell_nodes].add(r_loc)
+
+        def local_sweep(args: HaloArgs, u_own, residual_form):
+            state = sq(specs_template.state, args.state)
+            # [owned | ghost | trash] window, one trash slot (+1)
+            w = jnp.zeros((n_loc + 1, C), op.dtype)
+            w = w.at[:n_own_max].set(u_own[0])
+            w = exchange_fill(w)
+            ca = sq(
+                specs_template.cstr_i,
+                args.cstr_i if residual_form else args.cstr_h,
+            )
+            w = cdistribute(ca, w, homogeneous=not residual_form)
+
+            if psweep is not None:
+                r = prism_cells(args, state, w, residual_form)
+            else:
+                r = general_cells(args, state, w, residual_form)
             for k, hfb in enumerate(args.faces):
                 fb = sq(specs_template.faces[k], hfb)
                 fr_loc = op.face_block_terms(
@@ -645,7 +739,24 @@ class HaloShardedOperator:
         ca_s = ConstraintArrays(
             rows=P(AXIS), cols=P(AXIS), weights=P(AXIS), inhom=P(AXIS)
         )
-        return HaloArgs(batch_s, faces_s, state_s, ca_s, ca_s, ca_s)
+        prism_s = ()
+        if self._halo_prism is not None:
+            from ns_gls_tpu.ops.prism import PrismTables
+            from ns_gls_tpu.parallel.halo_prism import HaloPrismArgs
+
+            # explicit specs (NOT shape-sniffed: a replicated band's row
+            # count can coincide with n_dev)
+            tab_s = PrismTables(
+                band_S=P(), band_D=P(), bx_S=P(), bx_D=P(),
+                bx_ST=P(), bx_DT=P(), S1=P(), D1=P(), wz=P(),
+                jinv2=P(AXIS), jxw2=P(AXIS), h=P(AXIS),
+                gather_nodes=P(AXIS),
+                compress=tuple(P(AXIS) for _ in
+                               self._halo_prism.tables.compress),
+            )
+            prism_s = (HaloPrismArgs(tables=tab_s, oslot=P(AXIS)),)
+        return HaloArgs(batch_s, faces_s, state_s, ca_s, ca_s, ca_s,
+                        prism_s)
 
     def _args_template(self):
         return HaloArgs(
@@ -655,6 +766,8 @@ class HaloShardedOperator:
             cstr_h=self._cstr_h,
             cstr_own=self._cstr_own,
             cstr_i=self._cstr_i,
+            prism=(self._halo_prism,) if self._halo_prism is not None
+            else (),
         )
 
     # ------------------------------------------------------------------
