@@ -4,7 +4,8 @@
 
 PY ?= python
 
-.PHONY: all native test test-fast bench bench-step dryrun run clean
+.PHONY: all native test test-fast test-corridor bench bench-step dryrun \
+	run clean
 
 all: native
 
@@ -16,6 +17,12 @@ test:
 
 test-fast:
 	$(PY) -m pytest tests/ -x -q -m "not slow"
+
+# Turek 2D-2 unsteady shedding corridor (drag/lift/Strouhal vs published
+# values; ~35 min on one CPU core). Not part of the default gate — run
+# periodically (e.g. weekly) so shedding physics can't silently regress.
+test-corridor:
+	NS_CORRIDOR=1 $(PY) -m pytest tests/test_turek_unsteady.py -q -m slow
 
 # operator-apply throughput (gls-vmult equivalent); runs on the attached TPU
 bench:
