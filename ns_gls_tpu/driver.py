@@ -265,6 +265,16 @@ class Driver:
                 self._setup_gmg_ls(sim, bcs, mapping_degree,
                                    increment_form, mg_dtype)
             elif p.preconditioner in ("GMG", "GMG-LS"):
+                if p.preconditioner == "GMG-LS":
+                    import warnings
+
+                    warnings.warn(
+                        "preconditioner 'GMG-LS' with 'n devices' > 1 "
+                        "falls back to the global-coarsening GMG cycle "
+                        "(the reference equally restricts GMG-LS to its "
+                        "non-benchmark single-rank configs)",
+                        stacklevel=2,
+                    )
                 self._setup_gmg(sim, bcs, mapping_degree, increment_form,
                                 mg_dtype)
             elif p.preconditioner == "ILU":
