@@ -277,8 +277,22 @@ class FESpace:
             and mesh.dim == 3
             and mesh.extr_mesh2d is not None
         )
+        # patch-lattice numbering for general 2D meshes (ops/patch2d.py):
+        # any 2D quad mesh decomposes into per-coarse-cell refinement
+        # patches (single-cell patches when never refined) — the 2D
+        # analogue of the prism fast path's 2D-factor treatment
+        self.patch2d = False
+        if (
+            not self.structured
+            and not self.prism
+            and not self.iso_q1
+            and mesh.dim == 2
+        ):
+            self.patch2d = self._build_patch2d_numbering()
         if self.prism:
             self._build_prism_numbering()
+        elif self.patch2d:
+            pass                      # numbering already built
         elif self.structured:
             # structured patch: nodes ARE a lattice. The numbering is the
             # TPU fast path's storage layout (ops/structured.py): x is the
@@ -357,10 +371,10 @@ class FESpace:
         # parts" #1).  Nodes are RENUMBERED by contribution count so each
         # count-class gets a dense (n_class, K_class) gather table with no
         # padding waste (XLA TPU gathers cost ~constant per row).
-        if self.structured or self.prism:
-            # lattice/product numbering must be preserved (it IS the fast
-            # path's gather); the general sweep on these spaces falls back
-            # to scatter-add, which only tests/CPU paths use
+        if self.structured or self.prism or self.patch2d:
+            # lattice/product/patch numbering must be preserved (it IS the
+            # fast path's gather); the general sweep on these spaces falls
+            # back to scatter-add, which only tests/CPU paths use
             self.node_gather_classes = []
             return
         counts, _ = native.transpose_map(self.cell_nodes, self.n_nodes)
@@ -387,6 +401,73 @@ class FESpace:
                     idx[:, k] = order[starts[n0:n1] + k]
             self.node_gather_classes.append((n0, max(K, 1), idx))
             n0 = n1
+
+    def _build_patch2d_numbering(self) -> bool:
+        """Patch-lattice numbering for general 2D meshes (the pure-2D
+        analogue of ``_build_prism_numbering``'s 2D factor): cells group
+        into per-coarse-cell refinement patches — (2^r)^2 lattices on
+        globally refined multiblock meshes (Turek 2D,
+        ``grid_cylinder.h:7-151``), single-cell patches on meshes without
+        a refinement chain (Gmsh imports).  Nodes are relabeled sorted by
+        patch multiplicity so the kernel's seam-compress gather classes
+        are dense.  Returns False (leaving the general numbering to run)
+        on adaptive meshes or broken chains."""
+        from ns_gls_tpu.utils import native
+
+        mesh, P = self.mesh, self.degree
+        el = self.element
+        n1 = P + 1
+
+        chain = []
+        cur = mesh
+        while cur.prev is not None and cur.parent_cell is not None:
+            chain.append(cur)
+            cur = cur.prev
+        patch = np.arange(cur.n_cells, dtype=np.int64)
+        lat = np.zeros((cur.n_cells, 2), dtype=np.int64)
+        for gen in reversed(chain):
+            pc, ch = gen.parent_cell, gen.parent_child
+            if (ch < 0).any():
+                return False          # adaptive: mixed-depth cells
+            off = np.stack([ch & 1, (ch >> 1) & 1], axis=1)
+            patch = patch[pc]
+            lat = 2 * lat[pc] + off
+        m_ref = 1 << len(chain)
+        if len(patch) != mesh.n_cells:
+            return False              # chain does not reach this mesh
+
+        S1 = _q1_shape(el.support_points)
+        q1_pos = np.einsum("li,cid->cld", S1, mesh.vertices[mesh.cells])
+        tol = max(mesh.cell_min_vertex_distance().min() / 64.0, 1e-12)
+        key = np.round(q1_pos.reshape(-1, 2) / tol).astype(np.int64)
+        ids, n_nodes = native.unique_rows(key)
+        cell_nodes = ids.reshape(mesh.n_cells, el.n_loc)
+
+        Xn = P * m_ref + 1
+        patch_nodes = np.full((int(cur.n_cells), Xn, Xn), -1, np.int64)
+        li = np.arange(el.n_loc) % n1
+        lj = np.arange(el.n_loc) // n1
+        gx = (P * lat[:, 0])[:, None] + li[None, :]
+        gy = (P * lat[:, 1])[:, None] + lj[None, :]
+        patch_nodes[patch[:, None], gy, gx] = cell_nodes
+        if (patch_nodes < 0).any():
+            return False              # incomplete patch lattices
+
+        mult = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(mult, patch_nodes.reshape(-1), 1)
+        perm = np.argsort(mult, kind="stable")
+        relabel = np.empty(n_nodes, dtype=np.int64)
+        relabel[perm] = np.arange(n_nodes)
+        self.cell_nodes = relabel[cell_nodes].astype(np.int32)
+        self.n_nodes = int(n_nodes)
+        self.n_patches = int(cur.n_cells)
+        self.patch_cells = m_ref
+        self.patch_of_cell2d = patch
+        self.lattice_of_cell2d = lat
+        self.patch_nodes = relabel[patch_nodes].astype(np.int32)
+        self.node2d_mult = mult[perm]
+        self.n2d = int(n_nodes)
+        return True
 
     def _build_prism_numbering(self):
         """(node2d, z)-product numbering for extruded meshes (the prism
