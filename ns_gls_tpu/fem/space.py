@@ -282,11 +282,14 @@ class FESpace:
         # patches (single-cell patches when never refined) — the 2D
         # analogue of the prism fast path's 2D-factor treatment
         self.patch2d = False
+        import os
+
         if (
             not self.structured
             and not self.prism
             and not self.iso_q1
             and mesh.dim == 2
+            and os.environ.get("NS_PATCH2D", "1") != "0"
         ):
             self.patch2d = self._build_patch2d_numbering()
         if self.prism:

@@ -227,6 +227,7 @@ class NavierStokesOperator:
         self._structured_tables = None
         self._ssweep = None
         self._psweep = None
+        self._p2sweep = None
         self.structured_precision = structured_precision
         if use_structured is None:
             # auto: the fused kernel is a TPU program; its interpret-mode
@@ -256,6 +257,18 @@ class NavierStokesOperator:
                 if self._structured_tables is not None:
                     self.fuse_tables = True
                     self._psweep = PrismSweep(self)
+            if self._structured_tables is None and space.dim == 2:
+                # patch-lattice fast path for general 2D meshes
+                # (ops/patch2d.py) — Turek 2D and friends
+                from ns_gls_tpu.ops.patch2d import (
+                    Patch2DSweep,
+                    build_patch2d_tables,
+                )
+
+                self._structured_tables = build_patch2d_tables(self)
+                if self._structured_tables is not None:
+                    self.fuse_tables = True
+                    self._p2sweep = Patch2DSweep(self)
 
         self.batch = CellBatch(
             S=jnp.asarray(S, dtype),
@@ -356,6 +369,9 @@ class NavierStokesOperator:
         if self._psweep is not None:
             sw = self._psweep
             return (lead, sw.n_groups * sw.PlY, sw.XrG, sw.Nzn)
+        if self._p2sweep is not None:
+            sw = self._p2sweep
+            return (lead, sw.n_groups, sw.GXn, sw.HYn)
         return (0,)
 
     # ------------------------------------------------------------------
@@ -540,10 +556,26 @@ class NavierStokesOperator:
         )
         return r2d.reshape(C, -1).T
 
+    def _patch2d_apply(self, b: CellBatch, state: NSState, u_eff,
+                       flavor: str):
+        """Fused patch-2D sweep (ops/patch2d.py): component-major view
+        in/out; u is patch-gathered here, the linearization tensors are
+        pre-gathered in the state."""
+        sw = self._p2sweep
+        tables = b.structured[0]
+        uP = sw.gather(tables, u_eff.T)
+        r2 = sw.apply(
+            tables, state.weight, state.stau, uP,
+            state.u_linT, state.vec_oldT, flavor
+        )
+        return r2.T
+
     def _fast_apply(self, b: CellBatch, state: NSState, u_eff,
                     flavor: str):
         if self._ssweep is not None:
             return self._structured_apply(b, state, u_eff, flavor)
+        if self._p2sweep is not None:
+            return self._patch2d_apply(b, state, u_eff, flavor)
         return self._prism_apply(b, state, u_eff, flavor)
 
     def _cell_sweep(self, b: CellBatch, state: NSState, u,
@@ -645,7 +677,8 @@ class NavierStokesOperator:
             # matrix-free sandwich: dst = Cᵀ A C u ; dst[constrained] = u
             batch, faces, state = args
             u_eff = cstr.distribute(ch, u, homogeneous=True)
-            if self._ssweep is not None or self._psweep is not None:
+            if (self._ssweep is not None or self._psweep is not None
+                    or self._p2sweep is not None):
                 flavor = "increment" if self.increment_form else "fixed"
                 r = self._fast_apply(batch, state, u_eff, flavor)
             else:
@@ -672,7 +705,8 @@ class NavierStokesOperator:
             with jax.default_matmul_precision("highest"):
                 batch, faces, state = args
                 tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
-                if self._ssweep is not None or self._psweep is not None:
+                if (self._ssweep is not None or self._psweep is not None
+                    or self._p2sweep is not None):
                     r = self._fast_apply(batch, state, tmp, "residual")
                 else:
                     r = self._cell_sweep(batch, state, tmp,
@@ -758,6 +792,10 @@ class NavierStokesOperator:
                         batch.structured[0],
                         u.T.reshape(self.n_comp, sw.n2d, sw.Nzn),
                     )
+                )
+            elif self._p2sweep is not None:
+                new = new._replace(
+                    u_linT=self._p2sweep.gather(batch.structured[0], u.T)
                 )
             if self.cell_wise_stabilization:
                 u_loc = u[batch.cell_nodes][..., :d]
@@ -866,6 +904,12 @@ class NavierStokesOperator:
                     vec_oldT=sw.gather(
                         batch.structured[0],
                         vec_old[:, :d].T.reshape(d, sw.n2d, sw.Nzn),
+                    )
+                )
+            elif self._p2sweep is not None:
+                new = new._replace(
+                    vec_oldT=self._p2sweep.gather(
+                        batch.structured[0], vec_old[:, :d].T
                     )
                 )
             if self.theta != 1.0:

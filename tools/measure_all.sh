@@ -1,9 +1,9 @@
 #!/bin/bash
 # One-shot on-chip measurement sweep (run when the TPU tunnel is up).
-# Each lane appends to /tmp/measure_all_r3.jsonl so a mid-sweep tunnel
+# Each lane appends to /tmp/measure_all_r4.jsonl so a mid-sweep tunnel
 # drop keeps earlier results.
 set -u
-OUT=${1:-/tmp/measure_all_r3.jsonl}
+OUT=${1:-/tmp/measure_all_r4.jsonl}
 cd "$(dirname "$0")/.."
 
 run() {
@@ -24,6 +24,7 @@ run() {
 
 run bench_3d_ref5 python bench.py                 # structured hypercube (BENCH lane)
 run bench_turek python bench.py --turek           # prism path on the real Turek 3D mesh
+run bench_turek2d python bench.py --turek2d       # patch2d path on the Turek 2D mesh
 run layout python tools/bench_layout.py           # (N,4) vs flat elementwise/dots
 T=1800 run step_ref1 python bench_step.py 1 3
 T=1800 run step_ref2 python bench_step.py 2 3
