@@ -121,6 +121,37 @@ def build_turek2d(refinements=4, degree=2, dtype=jnp.float32):
     return op, space, u
 
 
+def build_sphere(refinements=2, degree=2, dtype=jnp.float32):
+    """General-3D-mesh lane: the Gmsh sphere mesh
+    (``simulation.cc:852-908``).  Exercises the patch-3D fused sweep
+    (ops/patch3d.py) — the last mesh family off the fast path."""
+    from ns_gls_tpu.fem.constraints import AffineConstraints
+    from ns_gls_tpu.fem.space import FESpace
+    from ns_gls_tpu.mesh.gmsh import read_msh
+    from ns_gls_tpu.ops.navier_stokes import NavierStokesOperator
+    from ns_gls_tpu.ops.time_integration import BDFIntegrator, SolutionHistory
+
+    mesh = read_msh("meshes/sphere.msh").refine_global(refinements)
+    space = FESpace(mesh, degree)
+    C = 4
+    ca = AffineConstraints(space.n_nodes, C).close(dtype)
+    ti = BDFIntegrator(2)
+    ti.update_dt(0.1)
+    ti.update_dt(0.1)
+    op = NavierStokesOperator(
+        space, ca, ca, nu=0.001, c_1=2.0, c_2=1.0,
+        time_integrator=ti, consider_time_derivative=True,
+        increment_form=True, cell_wise_stabilization=False, dtype=dtype,
+    )
+    op.constraints_inhomogeneous = ca
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((space.n_nodes, C)), dtype)
+    hist = SolutionHistory([u, u * 0.9, u * 0.8])
+    op.set_previous_solution(hist)
+    op.set_linearization_point(u)
+    return op, space, u
+
+
 def time_apply(apply_fn, args, u, n_rep=None) -> float:
     """Honest steady-state seconds/apply: chained applies inside one jit
     (each iteration consumes the previous, normalized, output).
@@ -223,6 +254,7 @@ def main():
     show_all = "--all" in sys.argv
     turek = "--turek" in sys.argv
     turek2d = "--turek2d" in sys.argv
+    sphere = "--sphere" in sys.argv
     dtype = jnp.float32
 
     def measure_with_fallback(build_fn, *bargs):
@@ -269,6 +301,35 @@ def main():
             "unit": f"MDoF/s/chip (Turek 2D ref={refinements} Q{degree}, "
                     f"{n_dofs} dofs, f32, {path} sweep; "
                     f"{dt_g / dt_p2:.2f}x vs general)",
+            "vs_baseline": round(frac, 4),
+        }))
+        return
+    if sphere:
+        import os
+
+        refinements = int(args[0]) if len(args) > 0 else 2
+        degree = int(args[1]) if len(args) > 1 else 2
+        op, space, u, dt_p3 = measure_with_fallback(
+            build_sphere, refinements, degree, dtype
+        )
+        path = "patch3d" if op._p3sweep is not None else "general"
+        os.environ["NS_PATCH3D"] = "0"
+        op_g, _, _, dt_g = measure_with_fallback(
+            build_sphere, refinements, degree, dtype
+        )
+        del os.environ["NS_PATCH3D"]
+        n_dofs = space.n_nodes * 4
+        mdofs = n_dofs / dt_p3 / 1e6
+        frac = roofline_seconds(op, space, dtype) / dt_p3
+        print(f"general sweep: {n_dofs / dt_g / 1e6:.1f} MDoF/s "
+              f"({dt_g * 1e3:.3f} ms); speedup {dt_g / dt_p3:.2f}x",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "ns_vmult_sphere_mdof_per_s",
+            "value": round(mdofs, 2),
+            "unit": f"MDoF/s/chip (sphere ref={refinements} Q{degree}, "
+                    f"{n_dofs} dofs, f32, {path} sweep; "
+                    f"{dt_g / dt_p3:.2f}x vs general)",
             "vs_baseline": round(frac, 4),
         }))
         return

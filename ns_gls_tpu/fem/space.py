@@ -282,6 +282,7 @@ class FESpace:
         # patches (single-cell patches when never refined) — the 2D
         # analogue of the prism fast path's 2D-factor treatment
         self.patch2d = False
+        self.patch3d = False
         import os
 
         if (
@@ -292,9 +293,17 @@ class FESpace:
             and os.environ.get("NS_PATCH2D", "1") != "0"
         ):
             self.patch2d = self._build_patch2d_numbering()
+        if (
+            not self.structured
+            and not self.prism
+            and not self.iso_q1
+            and mesh.dim == 3
+            and os.environ.get("NS_PATCH3D", "1") != "0"
+        ):
+            self.patch3d = self._build_patch3d_numbering()
         if self.prism:
             self._build_prism_numbering()
-        elif self.patch2d:
+        elif self.patch2d or self.patch3d:
             pass                      # numbering already built
         elif self.structured:
             # structured patch: nodes ARE a lattice. The numbering is the
@@ -374,7 +383,7 @@ class FESpace:
         # parts" #1).  Nodes are RENUMBERED by contribution count so each
         # count-class gets a dense (n_class, K_class) gather table with no
         # padding waste (XLA TPU gathers cost ~constant per row).
-        if self.structured or self.prism or self.patch2d:
+        if self.structured or self.prism or self.patch2d or self.patch3d:
             # lattice/product/patch numbering must be preserved (it IS the
             # fast path's gather); the general sweep on these spaces falls
             # back to scatter-add, which only tests/CPU paths use
@@ -470,6 +479,73 @@ class FESpace:
         self.patch_nodes = relabel[patch_nodes].astype(np.int32)
         self.node2d_mult = mult[perm]
         self.n2d = int(n_nodes)
+        return True
+
+    def _build_patch3d_numbering(self) -> bool:
+        """3D sibling of ``_build_patch2d_numbering`` for general
+        (non-extruded) 3D meshes — the Gmsh sphere family: cells group
+        into per-coarse-cell refinement patch lattices; nodes relabeled
+        by patch multiplicity for dense seam-compress classes
+        (ops/patch3d.py).  Returns False on adaptive/broken chains."""
+        from ns_gls_tpu.utils import native
+
+        mesh, P = self.mesh, self.degree
+        el = self.element
+        n1 = P + 1
+
+        chain = []
+        cur = mesh
+        while cur.prev is not None and cur.parent_cell is not None:
+            chain.append(cur)
+            cur = cur.prev
+        patch = np.arange(cur.n_cells, dtype=np.int64)
+        lat = np.zeros((cur.n_cells, 3), dtype=np.int64)
+        for gen in reversed(chain):
+            pc, ch = gen.parent_cell, gen.parent_child
+            if (ch < 0).any():
+                return False          # adaptive: mixed-depth cells
+            off = np.stack([ch & 1, (ch >> 1) & 1, (ch >> 2) & 1], axis=1)
+            patch = patch[pc]
+            lat = 2 * lat[pc] + off
+        m_ref = 1 << len(chain)
+        if len(patch) != mesh.n_cells:
+            return False
+
+        S1 = _q1_shape(el.support_points)
+        q1_pos = np.einsum("li,cid->cld", S1, mesh.vertices[mesh.cells])
+        tol = max(mesh.cell_min_vertex_distance().min() / 64.0, 1e-12)
+        key = np.round(q1_pos.reshape(-1, 3) / tol).astype(np.int64)
+        ids, n_nodes = native.unique_rows(key)
+        cell_nodes = ids.reshape(mesh.n_cells, el.n_loc)
+
+        Xn = P * m_ref + 1
+        patch_nodes = np.full(
+            (int(cur.n_cells), Xn, Xn, Xn), -1, np.int64
+        )                              # [p, gz, gy, gx]
+        loc = np.arange(el.n_loc)
+        li = loc % n1
+        lj = (loc // n1) % n1
+        lk = loc // (n1 * n1)
+        gx = (P * lat[:, 0])[:, None] + li[None, :]
+        gy = (P * lat[:, 1])[:, None] + lj[None, :]
+        gz = (P * lat[:, 2])[:, None] + lk[None, :]
+        patch_nodes[patch[:, None], gz, gy, gx] = cell_nodes
+        if (patch_nodes < 0).any():
+            return False
+
+        mult = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(mult, patch_nodes.reshape(-1), 1)
+        perm = np.argsort(mult, kind="stable")
+        relabel = np.empty(n_nodes, dtype=np.int64)
+        relabel[perm] = np.arange(n_nodes)
+        self.cell_nodes = relabel[cell_nodes].astype(np.int32)
+        self.n_nodes = int(n_nodes)
+        self.n_patches = int(cur.n_cells)
+        self.patch_cells = m_ref
+        self.patch_of_cell3 = patch
+        self.lattice_of_cell3 = lat
+        self.patch_nodes3 = relabel[patch_nodes].astype(np.int32)
+        self.node_mult3 = mult[perm]
         return True
 
     def _build_prism_numbering(self):

@@ -228,6 +228,7 @@ class NavierStokesOperator:
         self._ssweep = None
         self._psweep = None
         self._p2sweep = None
+        self._p3sweep = None
         self.structured_precision = structured_precision
         if use_structured is None:
             # auto: the fused kernel is a TPU program; its interpret-mode
@@ -269,6 +270,18 @@ class NavierStokesOperator:
                 if self._structured_tables is not None:
                     self.fuse_tables = True
                     self._p2sweep = Patch2DSweep(self)
+            if self._structured_tables is None and space.dim == 3:
+                # patch-lattice fast path for general non-extruded 3D
+                # meshes (ops/patch3d.py) — the Gmsh sphere family
+                from ns_gls_tpu.ops.patch3d import (
+                    Patch3DSweep,
+                    build_patch3d_tables,
+                )
+
+                self._structured_tables = build_patch3d_tables(self)
+                if self._structured_tables is not None:
+                    self.fuse_tables = True
+                    self._p3sweep = Patch3DSweep(self)
 
         self.batch = CellBatch(
             S=jnp.asarray(S, dtype),
@@ -372,6 +385,9 @@ class NavierStokesOperator:
         if self._p2sweep is not None:
             sw = self._p2sweep
             return (lead, sw.n_groups, sw.GXn, sw.HYn)
+        if self._p3sweep is not None:
+            sw = self._p3sweep
+            return (lead, sw.n_groups * sw.PlY, sw.GXn, sw.HZn)
         return (0,)
 
     # ------------------------------------------------------------------
@@ -570,12 +586,28 @@ class NavierStokesOperator:
         )
         return r2.T
 
+    def _patch3d_apply(self, b: CellBatch, state: NSState, u_eff,
+                       flavor: str):
+        """Fused patch-3D sweep (ops/patch3d.py): component-major view
+        in/out; u is patch-gathered here, the linearization tensors are
+        pre-gathered in the state."""
+        sw = self._p3sweep
+        tables = b.structured[0]
+        uP = sw.gather(tables, u_eff.T)
+        r3 = sw.apply(
+            tables, state.weight, state.stau, uP,
+            state.u_linT, state.vec_oldT, flavor
+        )
+        return r3.T
+
     def _fast_apply(self, b: CellBatch, state: NSState, u_eff,
                     flavor: str):
         if self._ssweep is not None:
             return self._structured_apply(b, state, u_eff, flavor)
         if self._p2sweep is not None:
             return self._patch2d_apply(b, state, u_eff, flavor)
+        if self._p3sweep is not None:
+            return self._patch3d_apply(b, state, u_eff, flavor)
         return self._prism_apply(b, state, u_eff, flavor)
 
     def _cell_sweep(self, b: CellBatch, state: NSState, u,
@@ -678,7 +710,8 @@ class NavierStokesOperator:
             batch, faces, state = args
             u_eff = cstr.distribute(ch, u, homogeneous=True)
             if (self._ssweep is not None or self._psweep is not None
-                    or self._p2sweep is not None):
+                    or self._p2sweep is not None
+                    or self._p3sweep is not None):
                 flavor = "increment" if self.increment_form else "fixed"
                 r = self._fast_apply(batch, state, u_eff, flavor)
             else:
@@ -706,7 +739,8 @@ class NavierStokesOperator:
                 batch, faces, state = args
                 tmp = cstr.distribute(ca_inhom, u, homogeneous=False)
                 if (self._ssweep is not None or self._psweep is not None
-                    or self._p2sweep is not None):
+                    or self._p2sweep is not None
+                    or self._p3sweep is not None):
                     r = self._fast_apply(batch, state, tmp, "residual")
                 else:
                     r = self._cell_sweep(batch, state, tmp,
@@ -796,6 +830,10 @@ class NavierStokesOperator:
             elif self._p2sweep is not None:
                 new = new._replace(
                     u_linT=self._p2sweep.gather(batch.structured[0], u.T)
+                )
+            elif self._p3sweep is not None:
+                new = new._replace(
+                    u_linT=self._p3sweep.gather(batch.structured[0], u.T)
                 )
             if self.cell_wise_stabilization:
                 u_loc = u[batch.cell_nodes][..., :d]
@@ -909,6 +947,12 @@ class NavierStokesOperator:
             elif self._p2sweep is not None:
                 new = new._replace(
                     vec_oldT=self._p2sweep.gather(
+                        batch.structured[0], vec_old[:, :d].T
+                    )
+                )
+            elif self._p3sweep is not None:
+                new = new._replace(
+                    vec_oldT=self._p3sweep.gather(
                         batch.structured[0], vec_old[:, :d].T
                     )
                 )

@@ -74,6 +74,7 @@ class NonLinearSolverNewton(NonLinearSolverBase):
         self.relative = relative
         self.max_iterations = max_iterations
         self.last_iterations = 0
+        self.last_residual = float("nan")
 
     def solve(self, solution):
         if self.prepare_residual is not None:
@@ -124,6 +125,7 @@ class NonLinearSolverNewton(NonLinearSolverBase):
                 )
 
         self.last_iterations = it
+        self.last_residual = l2
         self._log(f"    [N] solved in {it} iterations.")
         return solution
 
@@ -136,6 +138,7 @@ class NonLinearSolverPicard(NonLinearSolverBase):
         self.tolerance = tolerance
         self.max_iterations = max_iterations
         self.last_iterations = 0
+        self.last_residual = float("nan")
 
     def solve(self, solution):
         l2 = 1e10

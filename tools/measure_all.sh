@@ -25,6 +25,7 @@ run() {
 run bench_3d_ref5 python bench.py                 # structured hypercube (BENCH lane)
 run bench_turek python bench.py --turek           # prism path on the real Turek 3D mesh
 run bench_turek2d python bench.py --turek2d       # patch2d path on the Turek 2D mesh
+run bench_sphere python bench.py --sphere         # patch3d path on the Gmsh sphere mesh
 run layout python tools/bench_layout.py           # (N,4) vs flat elementwise/dots
 T=1800 run step_ref1 python bench_step.py 1 3
 T=1800 run step_ref2 python bench_step.py 2 3

@@ -54,7 +54,7 @@ def wake_stats(t, drag, lift, t_tail):
     }
 
 
-def run(ref, t_final, out_path):
+def run(ref, t_final, out_path, nl_tol=1e-6):
     from ns_gls_tpu.config import Parameters
     from ns_gls_tpu.driver import Driver
     from ns_gls_tpu.utils import logging as nslog
@@ -72,12 +72,22 @@ def run(ref, t_final, out_path):
 
     if jax.default_backend() == "cpu":
         # reference-grade outer precision: the absolute Newton tolerance
-        # 1e-7 (solver_nl.cc:27) sits below the f32 floor at this case's
-        # ||u|| ~ 39 inflow scale
+        # sits below the f32 floor at this case's ||u|| ~ 39 inflow scale
         cfg["precision"] = "f64"
+    # below the reference's ref-4 resolution, isolated steps need > 30
+    # Newton iterations (the reference's own hard cap,
+    # solver_nl.cc:31,82) to reach the hardcoded absolute 1e-7; 1e-6 is
+    # ample for wake statistics and converges within the cap
+    cfg["nonlinear tolerance"] = nl_tol
     p = Parameters.from_dict(cfg)
     d = Driver(p)
-    recs = d.run()
+    try:
+        recs = d.run()
+    except Exception as e:       # keep the partial series on a late-step
+        print(f"run aborted early: {e}", file=sys.stderr)
+        recs = d.sim._history
+        if len(recs) < 100:
+            raise
     t = np.array([r["t"] for r in recs])
     drag = np.array([r["drag"] for r in recs])
     lift = np.array([r["lift"] for r in recs])
