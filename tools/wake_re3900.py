@@ -54,7 +54,7 @@ def wake_stats(t, drag, lift, t_tail):
     }
 
 
-def run(ref, t_final, out_path, nl_tol=1e-6):
+def run(ref, t_final, out_path, nl_tol=1e-5):
     from ns_gls_tpu.config import Parameters
     from ns_gls_tpu.driver import Driver
     from ns_gls_tpu.utils import logging as nslog
@@ -74,11 +74,13 @@ def run(ref, t_final, out_path, nl_tol=1e-6):
         # reference-grade outer precision: the absolute Newton tolerance
         # sits below the f32 floor at this case's ||u|| ~ 39 inflow scale
         cfg["precision"] = "f64"
-    # below the reference's ref-4 resolution, isolated steps need > 30
-    # Newton iterations (the reference's own hard cap,
-    # solver_nl.cc:31,82) to reach the hardcoded absolute 1e-7; 1e-6 is
-    # ample for wake statistics and converges within the cap
+    # below the reference's ref-4 resolution, isolated impulsive-start
+    # transient steps cannot reach a tight ABSOLUTE tolerance within the
+    # 30-iteration Newton cap (the reference's own hard cap,
+    # solver_nl.cc:31,82).  Per-step relative reduction is robust through
+    # the transient and ample for wake statistics.
     cfg["nonlinear tolerance"] = nl_tol
+    cfg["nonlinear tolerance relative"] = True
     p = Parameters.from_dict(cfg)
     d = Driver(p)
     try:
