@@ -82,6 +82,8 @@ class HaloArgs(NamedTuple):
     cstr_i: ConstraintArrays    # inhomogeneous, local slots
     prism: tuple = ()       # (HaloPrismArgs,) when the distributed prism
     #                         fast path is active (parallel/halo_prism.py)
+    patch2: tuple = ()      # (HaloPatch2DArgs,) when the distributed
+    #                         patch-2D fast path is active
 
 
 def _pad_rows(a: np.ndarray, n: int, fill=0):
@@ -123,6 +125,15 @@ class HaloShardedOperator:
             from ns_gls_tpu.parallel.halo_prism import prism_patch_partition
 
             part = prism_patch_partition(space, n_dev)
+            if part is not None:
+                cells_of, patches_of = part
+                chunk = max(len(cd) for cd in cells_of)
+        if (patches_of is None
+                and getattr(op, "_p2sweep", None) is not None
+                and os.environ.get("NS_HALO_PATCH2D", "1") != "0"):
+            from ns_gls_tpu.parallel.halo_patch2d import patch2d_partition
+
+            part = patch2d_partition(space, n_dev)
             if part is not None:
                 cells_of, patches_of = part
                 chunk = max(len(cd) for cd in cells_of)
@@ -274,7 +285,10 @@ class HaloShardedOperator:
         self._halo_prism = None
         self._prism_sweep = None
         self._prism_lin_idx = None
-        if patches_of is not None:
+        self._halo_patch2 = None
+        self._patch2_sweep = None
+        self._patch2_lin_idx = None
+        if patches_of is not None and getattr(op, "_psweep", None) is not None:
             from ns_gls_tpu.parallel.halo_prism import build_halo_prism
 
             built = build_halo_prism(op, patches_of, g2l, n_loc)
@@ -282,6 +296,13 @@ class HaloShardedOperator:
                 self._halo_prism, self._prism_sweep, self._prism_lin_idx = (
                     built
                 )
+        elif patches_of is not None:
+            from ns_gls_tpu.parallel.halo_patch2d import build_halo_patch2d
+
+            built = build_halo_patch2d(op, patches_of, g2l, n_loc)
+            if built is not None:
+                self._halo_patch2, self._patch2_sweep, \
+                    self._patch2_lin_idx = built
 
         # ---- constraints localized to the windows ---------------------
         self._g2l = g2l
@@ -432,6 +453,18 @@ class HaloShardedOperator:
                         [v, jnp.zeros((lead, 1, Nzn), v.dtype)], axis=1
                     )
                     return jnp.moveaxis(vz[:, prism_idx], 1, 0)
+            patch2_idx = self._patch2_lin_idx
+            if patch2_idx is not None:
+                dim = self.op.space.dim
+
+                def planes2_of(x, lead):
+                    """Global (n_nodes, C) -> per-device patch planes
+                    (n_dev, lead, n_groups, GXn, HYn); pads read zero."""
+                    v = x.T[:lead]
+                    vz = jnp.concatenate(
+                        [v, jnp.zeros((lead, 1), v.dtype)], axis=1
+                    )
+                    return jnp.moveaxis(vz[:, patch2_idx], 1, 0)
 
             def chunk_cells(x):
                 if x.shape[0] == 0:
@@ -464,6 +497,9 @@ class HaloShardedOperator:
                 if prism_idx is not None:
                     u_linT = planes_of(st.u_lin, st.u_lin.shape[1])
                     vec_oldT = planes_of(st.vec_old, dim)
+                elif patch2_idx is not None:
+                    u_linT = planes2_of(st.u_lin, st.u_lin.shape[1])
+                    vec_oldT = planes2_of(st.vec_old, dim)
                 else:
                     u_linT = jnp.zeros((0,), st.u_linT.dtype)
                     vec_oldT = jnp.zeros((0,), st.vec_oldT.dtype)
@@ -552,6 +588,7 @@ class HaloShardedOperator:
             )
 
         psweep = self._prism_sweep
+        p2sweep = self._patch2_sweep
 
         def prism_cells(args: HaloArgs, state, w, residual_form):
             """Per-device fused prism sweep (parallel/halo_prism.py):
@@ -583,6 +620,29 @@ class HaloShardedOperator:
             return jnp.concatenate(
                 [rbuf[:n_loc], jnp.zeros((1, C), op.dtype)], axis=0
             )
+
+        def patch2_cells(args: HaloArgs, state, w, residual_form):
+            """Per-device fused patch-2D sweep (parallel/halo_patch2d.py):
+            window gather -> Pallas kernel -> seam-compressed scatter-add;
+            the reverse ghost exchange sums inter-device seam partials."""
+            pa = sq(specs_template.patch2[0], args.patch2[0])
+            # window + zero row: padded gather slots land there
+            wg = jnp.concatenate(
+                [w[:n_loc], jnp.zeros((1, C), w.dtype)], axis=0
+            )
+            uP = jnp.moveaxis(wg[pa.tables.gather_nodes], -1, 0)
+            #                                  (C, n_groups, GXn, HYn)
+            flavor = (
+                "residual" if residual_form
+                else ("increment" if op.increment_form else "fixed")
+            )
+            r2 = p2sweep.apply(
+                pa.tables, state.weight, state.stau, uP,
+                state.u_linT, state.vec_oldT, flavor,
+            )                                    # (C, n_cat)
+            rbuf = jnp.zeros((n_loc + 1, C), op.dtype)
+            rbuf = rbuf.at[pa.oslot].add(r2.T)
+            return rbuf.at[n_loc].set(0.0)
 
         def general_cells(args: HaloArgs, state, w, residual_form):
             batch = sq(specs_template.batch, args.batch)
@@ -625,6 +685,8 @@ class HaloShardedOperator:
 
             if psweep is not None:
                 r = prism_cells(args, state, w, residual_form)
+            elif p2sweep is not None:
+                r = patch2_cells(args, state, w, residual_form)
             else:
                 r = general_cells(args, state, w, residual_form)
             for k, hfb in enumerate(args.faces):
@@ -755,8 +817,22 @@ class HaloShardedOperator:
                                self._halo_prism.tables.compress),
             )
             prism_s = (HaloPrismArgs(tables=tab_s, oslot=P(AXIS)),)
+        patch2_s = ()
+        if self._halo_patch2 is not None:
+            from ns_gls_tpu.ops.patch2d import Patch2DTables
+            from ns_gls_tpu.parallel.halo_patch2d import HaloPatch2DArgs
+
+            tab2_s = Patch2DTables(
+                bx_S=P(), bx_D=P(), bx_ST=P(), bx_DT=P(),
+                by_S=P(), by_D=P(), by_ST=P(), by_DT=P(),
+                jinv=P(AXIS), jxw=P(AXIS), h=P(AXIS),
+                gather_nodes=P(AXIS),
+                compress=tuple(P(AXIS) for _ in
+                               self._halo_patch2.tables.compress),
+            )
+            patch2_s = (HaloPatch2DArgs(tables=tab2_s, oslot=P(AXIS)),)
         return HaloArgs(batch_s, faces_s, state_s, ca_s, ca_s, ca_s,
-                        prism_s)
+                        prism_s, patch2_s)
 
     def _args_template(self):
         return HaloArgs(
@@ -767,6 +843,8 @@ class HaloShardedOperator:
             cstr_own=self._cstr_own,
             cstr_i=self._cstr_i,
             prism=(self._halo_prism,) if self._halo_prism is not None
+            else (),
+            patch2=(self._halo_patch2,) if self._halo_patch2 is not None
             else (),
         )
 

@@ -19,9 +19,11 @@ import os
 import numpy as np
 import pytest
 
-ART = os.path.join(
-    os.path.dirname(__file__), "..", "validation", "wake_re3900_ref2.json"
-)
+_VAL = os.path.join(os.path.dirname(__file__), "..", "validation")
+_CANDIDATES = [
+    os.path.join(_VAL, f"wake_re3900_ref{r}.json") for r in (4, 3, 2)
+]
+ART = next((p for p in _CANDIDATES if os.path.exists(p)), _CANDIDATES[-1])
 
 ST_WINDOW = (0.18, 0.27)
 CD_WINDOW = (1.0, 2.2)
@@ -47,7 +49,7 @@ def test_wake_re3900_stats():
         )
         from tools.wake_re3900 import run
 
-        out = run(2, 0.45, ART)
+        out = run(3, 0.45, ART, cfl=0.7)
         stats = out["stats"]
     else:
         stats = json.load(open(ART))["stats"]

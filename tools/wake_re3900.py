@@ -54,7 +54,7 @@ def wake_stats(t, drag, lift, t_tail):
     }
 
 
-def run(ref, t_final, out_path, nl_tol=1e-5):
+def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None):
     from ns_gls_tpu.config import Parameters
     from ns_gls_tpu.driver import Driver
     from ns_gls_tpu.utils import logging as nslog
@@ -74,13 +74,15 @@ def run(ref, t_final, out_path, nl_tol=1e-5):
         # reference-grade outer precision: the absolute Newton tolerance
         # sits below the f32 floor at this case's ||u|| ~ 39 inflow scale
         cfg["precision"] = "f64"
-    # below the reference's ref-4 resolution, isolated impulsive-start
-    # transient steps cannot reach a tight ABSOLUTE tolerance within the
-    # 30-iteration Newton cap (the reference's own hard cap,
-    # solver_nl.cc:31,82).  Per-step relative reduction is robust through
-    # the transient and ample for wake statistics.
+    # Below the reference's ref-4 resolution the impulsive-start
+    # transient is stiff: absolute 1e-7 (solver_nl.cc:27) exceeds the
+    # 30-iteration Newton cap on isolated steps, while RELATIVE
+    # tolerances accept under-converged transient steps and blow up
+    # (measured: drag -> 587 at t~0.08, ref 2).  Absolute 1e-6 + a
+    # slightly conservative CFL is the working point off-resolution.
     cfg["nonlinear tolerance"] = nl_tol
-    cfg["nonlinear tolerance relative"] = True
+    if cfl is not None:
+        cfg["cfl"] = cfl
     p = Parameters.from_dict(cfg)
     d = Driver(p)
     try:
@@ -119,6 +121,8 @@ if __name__ == "__main__":
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (long runs off-chip)")
+    ap.add_argument("--cfl", type=float, default=None)
+    ap.add_argument("--nl-tol", type=float, default=1e-6)
     a = ap.parse_args()
     if a.cpu:
         import jax
@@ -128,4 +132,4 @@ if __name__ == "__main__":
         os.path.dirname(__file__), "..", "validation",
         f"wake_re3900_ref{a.ref}.json",
     )
-    run(a.ref, a.t_final, out)
+    run(a.ref, a.t_final, out, nl_tol=a.nl_tol, cfl=a.cfl)
