@@ -257,22 +257,34 @@ def main():
     sphere = "--sphere" in sys.argv
     dtype = jnp.float32
 
-    def measure_with_fallback(build_fn, *bargs):
-        """First Mosaic compile of the wide schedules happens here; if
-        the chip's compiler rejects them, retry the narrow kernels so
-        the benchmark still reports a number."""
+    def measure_with_fallback(build_fn, *bargs, retries=()):
+        """First Mosaic compiles happen here; if the chip's compiler
+        rejects a kernel schedule, retry progressively simpler paths so
+        the benchmark still reports a number.  ``retries``: extra
+        fallback env settings tried in order after the wide->narrow
+        step (e.g. ("NS_PATCH2D", "0") to drop to the general sweep)."""
         import os
+        import traceback
 
+        plans = [{"NS_WIDE": "0", "NS_PRISM_WIDE": "0"}]
+        for k, v in retries:
+            plans.append({**plans[-1], k: v})
         op, space, u = build_fn(*bargs)
         try:
             return op, space, u, time_apply(op.vmult_pure, op.vmult_args, u)
-        except Exception as e:
-            print(f"wide kernel failed ({type(e).__name__}); retrying "
-                  "narrow schedule (NS_WIDE=0)", file=sys.stderr)
-            os.environ["NS_WIDE"] = "0"
-            os.environ["NS_PRISM_WIDE"] = "0"
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+        for env in plans:
+            print(f"kernel failed; retrying with {env}", file=sys.stderr)
+            os.environ.update(env)
             op, space, u = build_fn(*bargs)
-            return op, space, u, time_apply(op.vmult_pure, op.vmult_args, u)
+            try:
+                return op, space, u, time_apply(
+                    op.vmult_pure, op.vmult_args, u
+                )
+            except Exception:
+                traceback.print_exc(file=sys.stderr)
+        raise RuntimeError("all kernel fallbacks failed")
 
     if turek2d:
         import os
@@ -280,7 +292,8 @@ def main():
         refinements = int(args[0]) if len(args) > 0 else 4
         degree = int(args[1]) if len(args) > 1 else 2
         op, space, u, dt_p2 = measure_with_fallback(
-            build_turek2d, refinements, degree, dtype
+            build_turek2d, refinements, degree, dtype,
+            retries=(("NS_PATCH2D", "0"),),
         )
         path = "patch2d" if op._p2sweep is not None else "general"
         # the number this lane exists to beat: the general gather sweep
@@ -310,7 +323,8 @@ def main():
         refinements = int(args[0]) if len(args) > 0 else 2
         degree = int(args[1]) if len(args) > 1 else 2
         op, space, u, dt_p3 = measure_with_fallback(
-            build_sphere, refinements, degree, dtype
+            build_sphere, refinements, degree, dtype,
+            retries=(("NS_PATCH3D", "0"),),
         )
         path = "patch3d" if op._p3sweep is not None else "general"
         os.environ["NS_PATCH3D"] = "0"
