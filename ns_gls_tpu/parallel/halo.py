@@ -84,6 +84,7 @@ class HaloArgs(NamedTuple):
     #                         fast path is active (parallel/halo_prism.py)
     patch2: tuple = ()      # (HaloPatch2DArgs,) when the distributed
     #                         patch-2D fast path is active
+    patch3: tuple = ()      # (HaloPatch3DArgs,) likewise for general 3D
 
 
 def _pad_rows(a: np.ndarray, n: int, fill=0):
@@ -134,6 +135,15 @@ class HaloShardedOperator:
             from ns_gls_tpu.parallel.halo_patch2d import patch2d_partition
 
             part = patch2d_partition(space, n_dev)
+            if part is not None:
+                cells_of, patches_of = part
+                chunk = max(len(cd) for cd in cells_of)
+        if (patches_of is None
+                and getattr(op, "_p3sweep", None) is not None
+                and os.environ.get("NS_HALO_PATCH3D", "1") != "0"):
+            from ns_gls_tpu.parallel.halo_patch3d import patch3d_partition
+
+            part = patch3d_partition(space, n_dev)
             if part is not None:
                 cells_of, patches_of = part
                 chunk = max(len(cd) for cd in cells_of)
@@ -288,6 +298,9 @@ class HaloShardedOperator:
         self._halo_patch2 = None
         self._patch2_sweep = None
         self._patch2_lin_idx = None
+        self._halo_patch3 = None
+        self._patch3_sweep = None
+        self._patch3_lin_idx = None
         if patches_of is not None and getattr(op, "_psweep", None) is not None:
             from ns_gls_tpu.parallel.halo_prism import build_halo_prism
 
@@ -296,13 +309,21 @@ class HaloShardedOperator:
                 self._halo_prism, self._prism_sweep, self._prism_lin_idx = (
                     built
                 )
-        elif patches_of is not None:
+        elif patches_of is not None and getattr(op, "_p2sweep", None) \
+                is not None:
             from ns_gls_tpu.parallel.halo_patch2d import build_halo_patch2d
 
             built = build_halo_patch2d(op, patches_of, g2l, n_loc)
             if built is not None:
                 self._halo_patch2, self._patch2_sweep, \
                     self._patch2_lin_idx = built
+        elif patches_of is not None:
+            from ns_gls_tpu.parallel.halo_patch3d import build_halo_patch3d
+
+            built = build_halo_patch3d(op, patches_of, g2l, n_loc)
+            if built is not None:
+                self._halo_patch3, self._patch3_sweep, \
+                    self._patch3_lin_idx = built
 
         # ---- constraints localized to the windows ---------------------
         self._g2l = g2l
@@ -465,6 +486,18 @@ class HaloShardedOperator:
                         [v, jnp.zeros((lead, 1), v.dtype)], axis=1
                     )
                     return jnp.moveaxis(vz[:, patch2_idx], 1, 0)
+            patch3_idx = self._patch3_lin_idx
+            if patch3_idx is not None:
+                dim = self.op.space.dim
+
+                def planes3_of(x, lead):
+                    """Global (n_nodes, C) -> per-device plane tensors
+                    (n_dev, lead, ng*PlY, GXn, HZn); pads read zero."""
+                    v = x.T[:lead]
+                    vz = jnp.concatenate(
+                        [v, jnp.zeros((lead, 1), v.dtype)], axis=1
+                    )
+                    return jnp.moveaxis(vz[:, patch3_idx], 1, 0)
 
             def chunk_cells(x):
                 if x.shape[0] == 0:
@@ -500,6 +533,9 @@ class HaloShardedOperator:
                 elif patch2_idx is not None:
                     u_linT = planes2_of(st.u_lin, st.u_lin.shape[1])
                     vec_oldT = planes2_of(st.vec_old, dim)
+                elif patch3_idx is not None:
+                    u_linT = planes3_of(st.u_lin, st.u_lin.shape[1])
+                    vec_oldT = planes3_of(st.vec_old, dim)
                 else:
                     u_linT = jnp.zeros((0,), st.u_linT.dtype)
                     vec_oldT = jnp.zeros((0,), st.vec_oldT.dtype)
@@ -589,6 +625,7 @@ class HaloShardedOperator:
 
         psweep = self._prism_sweep
         p2sweep = self._patch2_sweep
+        p3sweep = self._patch3_sweep
 
         def prism_cells(args: HaloArgs, state, w, residual_form):
             """Per-device fused prism sweep (parallel/halo_prism.py):
@@ -644,6 +681,28 @@ class HaloShardedOperator:
             rbuf = rbuf.at[pa.oslot].add(r2.T)
             return rbuf.at[n_loc].set(0.0)
 
+        def patch3_cells(args: HaloArgs, state, w, residual_form):
+            """Per-device fused patch-3D sweep (parallel/halo_patch3d.py);
+            same contract as patch2_cells."""
+            pa = sq(specs_template.patch3[0], args.patch3[0])
+            wg = jnp.concatenate(
+                [w[:n_loc], jnp.zeros((1, C), w.dtype)], axis=0
+            )
+            g = wg[pa.tables.gather_nodes]   # (ng, PlY, GXn, HZn, C)
+            ng, PlY, GXn, HZn, _ = g.shape
+            uP = jnp.moveaxis(g, -1, 0).reshape(C, ng * PlY, GXn, HZn)
+            flavor = (
+                "residual" if residual_form
+                else ("increment" if op.increment_form else "fixed")
+            )
+            r3 = p3sweep.apply(
+                pa.tables, state.weight, state.stau, uP,
+                state.u_linT, state.vec_oldT, flavor,
+            )                                    # (C, n_cat)
+            rbuf = jnp.zeros((n_loc + 1, C), op.dtype)
+            rbuf = rbuf.at[pa.oslot].add(r3.T)
+            return rbuf.at[n_loc].set(0.0)
+
         def general_cells(args: HaloArgs, state, w, residual_form):
             batch = sq(specs_template.batch, args.batch)
             if op.fuse_tables:
@@ -687,6 +746,8 @@ class HaloShardedOperator:
                 r = prism_cells(args, state, w, residual_form)
             elif p2sweep is not None:
                 r = patch2_cells(args, state, w, residual_form)
+            elif p3sweep is not None:
+                r = patch3_cells(args, state, w, residual_form)
             else:
                 r = general_cells(args, state, w, residual_form)
             for k, hfb in enumerate(args.faces):
@@ -831,8 +892,23 @@ class HaloShardedOperator:
                                self._halo_patch2.tables.compress),
             )
             patch2_s = (HaloPatch2DArgs(tables=tab2_s, oslot=P(AXIS)),)
+        patch3_s = ()
+        if self._halo_patch3 is not None:
+            from ns_gls_tpu.ops.patch3d import Patch3DTables
+            from ns_gls_tpu.parallel.halo_patch3d import HaloPatch3DArgs
+
+            tab3_s = Patch3DTables(
+                bx_S=P(), bx_D=P(), bx_ST=P(), bx_DT=P(),
+                bz_S=P(), bz_D=P(), bz_ST=P(), bz_DT=P(),
+                S1=P(), D1=P(),
+                jinv=P(AXIS), jxw=P(AXIS), h=P(AXIS),
+                gather_nodes=P(AXIS),
+                compress=tuple(P(AXIS) for _ in
+                               self._halo_patch3.tables.compress),
+            )
+            patch3_s = (HaloPatch3DArgs(tables=tab3_s, oslot=P(AXIS)),)
         return HaloArgs(batch_s, faces_s, state_s, ca_s, ca_s, ca_s,
-                        prism_s, patch2_s)
+                        prism_s, patch2_s, patch3_s)
 
     def _args_template(self):
         return HaloArgs(
@@ -845,6 +921,8 @@ class HaloShardedOperator:
             prism=(self._halo_prism,) if self._halo_prism is not None
             else (),
             patch2=(self._halo_patch2,) if self._halo_patch2 is not None
+            else (),
+            patch3=(self._halo_patch3,) if self._halo_patch3 is not None
             else (),
         )
 
