@@ -54,9 +54,34 @@ def wake_stats(t, drag, lift, t_tail):
     }
 
 
-def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None):
+def _segment(cfg, resume):
+    """One driver segment; returns (records, reached_t_final, err_msg)."""
     from ns_gls_tpu.config import Parameters
     from ns_gls_tpu.driver import Driver
+
+    p = Parameters.from_dict(cfg)
+    d = Driver(p)
+    try:
+        d.run(resume=resume)
+        return d.sim._history, True, None
+    except Exception as e:      # Newton failure on a stiff transient step
+        return d.sim._history, False, str(e)
+
+
+def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
+    """Run the Re 3900 case to ``t_final`` with automatic restart.
+
+    The impulsive-start transient is stiff below the reference's ref-4
+    resolution: isolated steps can exceed the 30-iteration Newton cap at
+    absolute tolerance (RELATIVE tolerances accept under-converged
+    transient steps and blow up — measured: drag -> 587 at t~0.08,
+    ref 2; absolute 1e-6 is the working point, ``solver_nl.cc:27`` uses
+    1e-7 at ref 4+).  On a Newton failure the run resumes from the last
+    checkpoint with CFL cut by 0.7x (permanently — failures cluster in
+    the early transient); the partial series is persisted to
+    ``<out>.partial`` after every segment so an external kill loses at
+    most one checkpoint interval.
+    """
     from ns_gls_tpu.utils import logging as nslog
 
     nslog.set_verbose(False)
@@ -68,33 +93,51 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None):
     cfg["t final"] = t_final
     cfg["output granularity"] = 0.0      # no VTU output, series only
     cfg["paraview prefix"] = ""
+    cfg["checkpoint prefix"] = out_path + ".ckpt"
+    cfg["checkpoint granularity"] = 0.005
     import jax
 
     if jax.default_backend() == "cpu":
         # reference-grade outer precision: the absolute Newton tolerance
         # sits below the f32 floor at this case's ||u|| ~ 39 inflow scale
         cfg["precision"] = "f64"
-    # Below the reference's ref-4 resolution the impulsive-start
-    # transient is stiff: absolute 1e-7 (solver_nl.cc:27) exceeds the
-    # 30-iteration Newton cap on isolated steps, while RELATIVE
-    # tolerances accept under-converged transient steps and blow up
-    # (measured: drag -> 587 at t~0.08, ref 2).  Absolute 1e-6 + a
-    # slightly conservative CFL is the working point off-resolution.
     cfg["nonlinear tolerance"] = nl_tol
     if cfl is not None:
         cfg["cfl"] = cfl
-    p = Parameters.from_dict(cfg)
-    d = Driver(p)
-    try:
-        recs = d.run()
-    except Exception as e:       # keep the partial series on a late-step
-        print(f"run aborted early: {e}", file=sys.stderr)
-        recs = d.sim._history
-        if len(recs) < 100:
-            raise
-    t = np.array([r["t"] for r in recs])
-    drag = np.array([r["drag"] for r in recs])
-    lift = np.array([r["lift"] for r in recs])
+
+    partial = out_path + ".partial"
+    prior = []
+    if resume and os.path.exists(partial) \
+            and os.path.exists(cfg["checkpoint prefix"] + ".json"):
+        prior = json.load(open(partial))["records"]
+    else:
+        resume = False
+
+    records = list(prior)
+    for attempt in range(12):
+        if resume:
+            meta = json.load(open(cfg["checkpoint prefix"] + ".json"))
+            resume_t = meta["t"]
+            records = [r for r in records if r["t"] <= resume_t + 1e-12]
+            print(f"[wake] segment {attempt}: resume from t = {resume_t:.6g}"
+                  f" at cfl = {cfg.get('cfl')}", file=sys.stderr)
+        seg, done, err = _segment(cfg, resume)
+        records.extend(seg)
+        json.dump({"records": records, "cfl": cfg.get("cfl")},
+                  open(partial, "w"))
+        if done:
+            break
+        print(f"[wake] segment aborted ({err}); cutting cfl "
+              f"{cfg.get('cfl')} -> {cfg.get('cfl', 0.7) * 0.7:.3g}",
+              file=sys.stderr)
+        cfg["cfl"] = cfg.get("cfl", 0.7) * 0.7
+        resume = True
+    else:
+        raise RuntimeError("wake run failed to reach t_final after retries")
+
+    t = np.array([r["t"] for r in records])
+    drag = np.array([r["drag"] for r in records])
+    lift = np.array([r["lift"] for r in records])
     # tail window: at most half the series, at least ~10 target periods
     t_tail = min(0.5 * (t[-1] - t[0]), max(10 * D / (0.21 * U_BAR), 0.05))
     stats = wake_stats(t, drag, lift, t_tail)
@@ -123,6 +166,8 @@ if __name__ == "__main__":
                     help="force the CPU backend (long runs off-chip)")
     ap.add_argument("--cfl", type=float, default=None)
     ap.add_argument("--nl-tol", type=float, default=1e-6)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from <out>.ckpt / <out>.partial")
     a = ap.parse_args()
     if a.cpu:
         import jax
@@ -132,4 +177,4 @@ if __name__ == "__main__":
         os.path.dirname(__file__), "..", "validation",
         f"wake_re3900_ref{a.ref}.json",
     )
-    run(a.ref, a.t_final, out, nl_tol=a.nl_tol, cfl=a.cfl)
+    run(a.ref, a.t_final, out, nl_tol=a.nl_tol, cfl=a.cfl, resume=a.resume)
