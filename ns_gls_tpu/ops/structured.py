@@ -409,7 +409,7 @@ def _mm_tools(mode: str):
 # (banded matmuls), z contraction as (P+1)-term scalar-weighted sums
 # ---------------------------------------------------------------------------
 def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
-                    wide=False):
+                    wide=False, qz_stack=False):
     d = 3
     P = dims["P"]
     NQ = dims["NQ"]
@@ -540,7 +540,107 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
         accDx = [[None] * n_pl for _ in range(C)]
         accDy = [[None] * n_pl for _ in range(C)]
 
-        for qz in range(NQ):
+        if qz_stack:
+            # ---- qz sublane stacking: ONE q-point physics pass on
+            # (NQ*R, L) row-stacked tiles instead of NQ passes on (R, L)
+            # — identical FLOPs and HBM traffic, ~NQ-fold fewer VPU
+            # instruction issues in the kernel's VPU-bound q-point phase
+            # (PERF.md "Remaining gap": the named next lever).
+            R = NQ * ny
+
+            def stackq(tiles):
+                return jnp.concatenate(tiles, axis=0)
+
+            def repq(t):
+                # broadcastable (1, 1) uniform-geometry windows stay as-is
+                return (t if t.shape[0] == 1
+                        else jnp.concatenate([t] * NQ, axis=0))
+
+            def colq(tab, k):
+                # (NQ*R, 1) column whose qz-th row block holds tab[qz, k]
+                return jnp.concatenate(
+                    [jnp.full((R, 1), tab[j, k], jnp.float32)
+                     for j in range(NQ)],
+                    axis=0,
+                )
+
+            def foldq(t):
+                acc = t[0:R]
+                for j in range(1, NQ):
+                    acc = acc + t[j * R:(j + 1) * R]
+                return acc
+
+            u_val = [stackq([zsum(UA[c], qz, s1_ref) for qz in range(NQ)])
+                     for c in range(C)]
+            dx = [stackq([zsum(UB[c], qz, s1_ref) for qz in range(NQ)])
+                  for c in range(C)]
+            dy = [stackq([zsum(UC[c], qz, s1_ref) for qz in range(NQ)])
+                  for c in range(C)]
+            dz = [stackq([zsum(UA[c], qz, d1t_ref) for qz in range(NQ)])
+                  for c in range(C)]
+            ustar_s = [stackq([ustar[qz][a] for qz in range(NQ)])
+                       for a in range(d)]
+            jinv_s = [repq(jinvL[r]) for r in range(d * d)]
+
+            def to_phys_s(gref):
+                if diag:
+                    return [gref[x] * jinv_s[x * d + x] for x in range(d)]
+                return [
+                    sum(gref[r] * jinv_s[r * d + x] for r in range(d))
+                    for x in range(d)
+                ]
+
+            u_grad = [to_phys_s([dx[a], dy[a], dz[a]]) for a in range(d)]
+            p_grad = to_phys_s([dx[d], dy[d], dz[d]])
+            gus = gps = None
+            if need_lin_grads:
+                ldx = [stackq([zsum(ULB[c], qz, s1_ref)
+                               for qz in range(NQ)]) for c in range(C)]
+                ldy = [stackq([zsum(ULC[c], qz, s1_ref)
+                               for qz in range(NQ)]) for c in range(C)]
+                ldz = [stackq([zsum(ULA[c], qz, d1t_ref)
+                               for qz in range(NQ)]) for c in range(C)]
+                gus = [to_phys_s([ldx[a], ldy[a], ldz[a]])
+                       for a in range(d)]
+                gps = to_phys_s([ldx[d], ldy[d], ldz[d]])
+            dt_old = ([stackq([zsum(VOA[a], qz, s1_ref)
+                               for qz in range(NQ)]) for a in range(d)]
+                      if need_dt_old else None)
+
+            if cell_wise:
+                d1_q, d2_q = repq(d1_t), repq(d2_t)
+            else:
+                usq_s = stackq(usq)
+                d1_q, d2_q = _delta(sc, repq(h1), repq(hq), None, usq_s,
+                                    False)
+
+            val_res, grad_res = _physics(
+                d, flavor, sc, u_val[:d], u_grad, u_val[d], p_grad,
+                ustar_s, gus, gps, dt_old, d1_q, d2_q, consider_dt,
+            )
+
+            jxw_s = stackq([jxw_ref[qz, 0] for qz in range(NQ)])
+            s1c = [colq(s1_ref, k) for k in range(n_pl)]
+            d1c = [colq(d1t_ref, k) for k in range(n_pl)]
+            for c in range(C):
+                w_val = val_res[c] * jxw_s
+                if diag:
+                    gref = [
+                        grad_res[c][r] * jinv_s[r * d + r] * jxw_s
+                        for r in range(d)
+                    ]
+                else:
+                    gref = [
+                        sum(grad_res[c][x] * jinv_s[r * d + x]
+                            for x in range(d)) * jxw_s
+                        for r in range(d)
+                    ]
+                for k in range(n_pl):
+                    accS[c][k] = foldq(s1c[k] * w_val + d1c[k] * gref[2])
+                    accDx[c][k] = foldq(s1c[k] * gref[0])
+                    accDy[c][k] = foldq(s1c[k] * gref[1])
+
+        for qz in (() if qz_stack else range(NQ)):
             u_val = [zsum(UA[c], qz, s1_ref) for c in range(C)]
             dx = [zsum(UB[c], qz, s1_ref) for c in range(C)]
             dy = [zsum(UC[c], qz, s1_ref) for c in range(C)]
@@ -1106,6 +1206,10 @@ class StructuredSweep:
         import os
 
         self.wide = d == 3 and os.environ.get("NS_WIDE", "1") != "0"
+        # qz sublane stacking (3D): one q-point physics pass on
+        # (NQ*R, L) row-stacked tiles (NS_QZ_STACK=1 to enable; off by
+        # default until measured on chip — see _make_kernel_3d)
+        self.qz_stack = d == 3 and os.environ.get("NS_QZ_STACK", "0") == "1"
         # diagonal-Jacobian lattice (any subdivided-rectangle mesh):
         # compile the kernels without the off-diagonal jinv terms.
         # Sharded local views may not expose jinv — stay general there.
@@ -1158,7 +1262,8 @@ class StructuredSweep:
         # large-magnitude states) costs convergence, not speed
         prec = "full" if (flavor == "residual"
                           and self.prec_mode == "3x") else self.prec_mode
-        kw = {"wide": self.wide} if d == 3 else {}
+        kw = ({"wide": self.wide, "qz_stack": self.qz_stack}
+              if d == 3 else {})
         kernel = make(
             dict(d=d, P=P, NQ=NQ, nx=nx, ny=ny, C=C, diag=self.diag_geom),
             flavor, self.consider_dt, self.cell_wise, prec, **kw,
