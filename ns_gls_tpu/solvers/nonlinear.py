@@ -119,7 +119,12 @@ class NonLinearSolverNewton(NonLinearSolverBase):
                 self._log("    [N] stalled at the f32 residual floor; "
                           "accepting.")
                 break
-            if it > self.max_iterations:
+            if l2 > tol and it > self.max_iterations:
+                # only an UNCONVERGED iteration budget is a failure: the
+                # residual was just updated above, so a step whose final
+                # allowed iteration lands below tol is accepted (the
+                # reference throws only after its convergence loop
+                # exhausts, ``solver_nl.cc:82-85``)
                 raise NonlinearSolverError(
                     f"Newton iteration did not converge; residual {l2:.3e}"
                 )

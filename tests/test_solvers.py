@@ -118,3 +118,38 @@ def test_gmres_fixed_matches_gmres():
     )
     assert fx3.converged
     assert np.allclose(fx3.x.reshape(-1), ref.x, atol=1e-8)
+
+
+def test_newton_converging_on_last_iteration_accepts():
+    """A step whose residual drops below tol exactly on the final
+    allowed iteration must be ACCEPTED — the failure throw belongs only
+    to an unconverged budget (``solver_nl.cc:82-85``).  Regression: the
+    cap check used to fire before re-testing convergence, aborting a
+    Re3900 wake step at residual 9.9e-07 with tol 1e-6."""
+    from ns_gls_tpu.solvers.nonlinear import NonLinearSolverNewton
+
+    # residual R(u) = u (linear), but a damped Jacobian solve that only
+    # halves the residual per iteration: reaching 1e-3 from 1.0 takes
+    # exactly 11 iterations (||u0||_2 = 2)
+    s = NonLinearSolverNewton(tolerance=1.1e-3, max_iterations=10)
+    s.setup_jacobian = lambda u: None
+    s.setup_preconditioner = lambda u: None
+    s.evaluate_residual = lambda u: u
+    s.solve_with_jacobian = lambda rhs: -0.5 * rhs
+    u = s.solve(jnp.ones((4, 1)))
+    # 0.5^11 * 2 = 9.77e-4 < 1.1e-3 on iteration 11 == max_iterations+1
+    assert s.last_iterations == 11
+    assert s.last_residual <= 1.1e-3
+
+    # one fewer allowed iteration: now it genuinely fails
+    import pytest as _pytest
+
+    from ns_gls_tpu.solvers.nonlinear import NonlinearSolverError
+
+    s2 = NonLinearSolverNewton(tolerance=1.1e-3, max_iterations=9)
+    s2.setup_jacobian = lambda u: None
+    s2.setup_preconditioner = lambda u: None
+    s2.evaluate_residual = lambda u: u
+    s2.solve_with_jacobian = lambda rhs: -0.5 * rhs
+    with _pytest.raises(NonlinearSolverError):
+        s2.solve(jnp.ones((4, 1)))
