@@ -332,7 +332,7 @@ def build_prism_tables(op):
 # contractions on the MXU, patch-y as (P+1)-term scalar-weighted sums
 # ---------------------------------------------------------------------------
 def _make_prism_kernel(dims, flavor, consider_dt, cell_wise, prec_mode,
-                       wide=False):
+                       wide=False, q_stack=False):
     d = 3
     P = dims["P"]
     NQ = dims["NQ"]
@@ -477,7 +477,93 @@ def _make_prism_kernel(dims, flavor, consider_dt, cell_wise, prec_mode,
         accDx = [[None] * n_pl for _ in range(C)]   # x-ref direction (rows)
         accDz = [[None] * n_pl for _ in range(C)]   # z-ref direction (lanes)
 
-        for qy in range(NQ):
+        if q_stack:
+            # ---- qy sublane stacking (NS_QZ_STACK=1): one q-point
+            # physics pass on (NQ*RG, L) row-stacked tiles instead of NQ
+            # passes on (RG, L) — identical FLOPs/traffic, ~NQ-fold
+            # fewer VPU instruction issues (structured.py applies the
+            # same schedule to its qz loop; PERF.md "Remaining gap").
+            RG_ = bxS_ref.shape[0]
+
+            def stackq(tiles):
+                return jnp.concatenate(tiles, axis=0)
+
+            def repq(t):
+                return (t if t.shape[0] == 1
+                        else jnp.concatenate([t] * NQ, axis=0))
+
+            def colq(tab, k):
+                return jnp.concatenate(
+                    [jnp.full((RG_, 1), tab[j, k], jnp.float32)
+                     for j in range(NQ)],
+                    axis=0,
+                )
+
+            def foldq(t):
+                acc = t[0:RG_]
+                for j in range(1, NQ):
+                    acc = acc + t[j * RG_:(j + 1) * RG_]
+                return acc
+
+            jiE_s = [stackq([jiE[e][qy] for qy in range(NQ)])
+                     for e in range(5)]
+            a00s, a01s, a10s, a11s, idzs = jiE_s
+            u_val = [stackq([ysum(UA[c], qy, s1_ref) for qy in range(NQ)])
+                     for c in range(C)]
+            dxr = [stackq([ysum(UC[c], qy, s1_ref) for qy in range(NQ)])
+                   for c in range(C)]
+            dyr = [stackq([ysum(UA[c], qy, d1t_ref) for qy in range(NQ)])
+                   for c in range(C)]
+            dzr = [stackq([ysum(UB[c], qy, s1_ref) for qy in range(NQ)])
+                   for c in range(C)]
+            ustar_s = [stackq([ustar[qy][a] for qy in range(NQ)])
+                       for a in range(d)]
+
+            def to_phys_s(rx, ry, rz):
+                return [rx * a00s + ry * a10s, rx * a01s + ry * a11s,
+                        rz * idzs]
+
+            u_grad = [to_phys_s(dxr[a], dyr[a], dzr[a]) for a in range(d)]
+            p_grad = to_phys_s(dxr[d], dyr[d], dzr[d])
+            gus = gps = None
+            if need_lin_grads:
+                ldx = [stackq([ysum(ULC[c], qy, s1_ref)
+                               for qy in range(NQ)]) for c in range(C)]
+                ldy = [stackq([ysum(ULA[c], qy, d1t_ref)
+                               for qy in range(NQ)]) for c in range(C)]
+                ldz = [stackq([ysum(ULB[c], qy, s1_ref)
+                               for qy in range(NQ)]) for c in range(C)]
+                gus = [to_phys_s(ldx[a], ldy[a], ldz[a]) for a in range(d)]
+                gps = to_phys_s(ldx[d], ldy[d], ldz[d])
+            dt_old = ([stackq([ysum(VOA[a], qy, s1_ref)
+                               for qy in range(NQ)]) for a in range(d)]
+                      if need_dt_old else None)
+
+            if cell_wise:
+                d1_q, d2_q = repq(d1_t), repq(d2_t)
+            else:
+                d1_q, d2_q = _delta(sc, repq(h1), repq(hq), None,
+                                    stackq(usq), False)
+
+            val_res, grad_res = _physics(
+                d, flavor, sc, u_val[:d], u_grad, u_val[d], p_grad,
+                ustar_s, gus, gps, dt_old, d1_q, d2_q, consider_dt,
+            )
+
+            jxw_s = stackq(jxw2) * wz                   # (NQ*RG, L)
+            s1c = [colq(s1_ref, k) for k in range(n_pl)]
+            d1c = [colq(d1t_ref, k) for k in range(n_pl)]
+            for c in range(C):
+                w_val = val_res[c] * jxw_s
+                gx = (grad_res[c][0] * a00s + grad_res[c][1] * a01s) * jxw_s
+                gy = (grad_res[c][0] * a10s + grad_res[c][1] * a11s) * jxw_s
+                gz = (grad_res[c][2] * idzs) * jxw_s
+                for k in range(n_pl):
+                    accS[c][k] = foldq(s1c[k] * w_val + d1c[k] * gy)
+                    accDx[c][k] = foldq(s1c[k] * gx)
+                    accDz[c][k] = foldq(s1c[k] * gz)
+
+        for qy in (() if q_stack else range(NQ)):
             a00, a01, a10, a11, idz = (jiE[e][qy] for e in range(5))
             u_val = [ysum(UA[c], qy, s1_ref) for c in range(C)]
             dxr = [ysum(UC[c], qy, s1_ref) for c in range(C)]
@@ -604,6 +690,9 @@ class PrismSweep:
         import os
 
         self.wide = os.environ.get("NS_PRISM_WIDE", "1") != "0"
+        # qy sublane stacking — same env flag as the structured kernel's
+        # qz stacking (ops/structured.py); off until measured on chip
+        self.q_stack = os.environ.get("NS_QZ_STACK", "0") == "1"
         self._calls = {}
 
     # plane index of local patch-y node k of layer s (class-grouped)
@@ -635,7 +724,7 @@ class PrismSweep:
         kernel = _make_prism_kernel(
             dict(P=P, NQ=NQ, mx=self.mx, nz=self.nz, G=self.G, C=C),
             flavor, self.consider_dt, self.cell_wise, prec,
-            wide=self.wide,
+            wide=self.wide, q_stack=self.q_stack,
         )
 
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)

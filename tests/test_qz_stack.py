@@ -43,3 +43,22 @@ def test_qz_stack_narrow(monkeypatch):
     (both flags are read at sweep construction, ops/structured.py)."""
     monkeypatch.setenv("NS_WIDE", "0")
     ts.check(3, 1, True, False)
+
+
+# ---- prism kernel: the same stacking on its qy loop (ops/prism.py) ----
+import tests.test_prism as tp
+
+
+@pytest.mark.parametrize("increment,cell_wise", [(False, False), (True, True)])
+def test_qz_stack_prism_q1(increment, cell_wise):
+    tp.check(tp.prism_mesh(1), 1, increment, cell_wise)
+
+
+def test_qz_stack_prism_q2():
+    tp.check(tp.prism_mesh(1), 2, True, False)
+
+
+def test_qz_stack_prism_turek3d():
+    from ns_gls_tpu.mesh.cylinder import cylinder_mesh_3d
+
+    tp.check(cylinder_mesh_3d(), 1, True, True)
