@@ -9,6 +9,7 @@ Usage: python bench_step.py [n_refinements] [n_steps]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -70,8 +71,14 @@ def main():
             "simulation t init": 0.01,
             "simulation u max": 2.25,
             "precision": "f32",  # TPU-native outer precision
-            # f32 residual rounding floor sits near 1e-4 at these scales
-            "nonlinear tolerance": 5e-4,
+            # NS_STEP_TOL overrides: tools/tolerance_proof.py certifies
+            # the reference's absolute 1e-7 (solver_nl.cc:27) on-chip
+            # (exact-f32 residual + f64-accumulated dots); the default
+            # stays at the measured-comparable 5e-4 until the proof lane
+            # has run on real hardware, then flips to 1e-7
+            "nonlinear tolerance": float(
+                os.environ.get("NS_STEP_TOL", "5e-4")
+            ),
         }
     )
     d = Driver(p)

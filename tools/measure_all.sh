@@ -26,8 +26,17 @@ run bench_3d_ref5 python bench.py                 # structured hypercube (BENCH 
 run bench_turek python bench.py --turek           # prism path on the real Turek 3D mesh
 run bench_turek2d python bench.py --turek2d       # patch2d path on the Turek 2D mesh
 run bench_sphere python bench.py --sphere         # patch3d path on the Gmsh sphere mesh
+# qz/qy sublane-stacked q-point physics A/B (round 4; PERF.md)
+NS_QZ_STACK=1 run bench_3d_ref5_qzstack python bench.py
+NS_QZ_STACK=1 run bench_turek_qzstack python bench.py --turek
 run layout python tools/bench_layout.py           # (N,4) vs flat elementwise/dots
 T=1800 run step_ref1 python bench_step.py 1 3
 T=1800 run step_ref2 python bench_step.py 2 3
 T=2400 run step_ref3 python bench_step.py 3 2
+# reference-grade tolerances on chip (VERDICT r3 #3): Newton abs 1e-7
+# vs the stored CPU-f64 baseline, then a 1e-7 production step lane
+T=1800 run tolerance_proof python tools/tolerance_proof.py
+T=1800 NS_STEP_TOL=1e-7 run step_ref1_tol7 python bench_step.py 1 3
+# on-chip corridor re-certification post-dispatch-fusion (VERDICT r3 #6)
+T=7200 run corridor_tpu python tools/corridor_tpu.py
 echo "done -> $OUT" >&2
