@@ -88,3 +88,35 @@ def test_replicated_strategy_still_available():
     d.run(max_steps=1)
     assert isinstance(d.op, ShardedOperator)
     assert np.isfinite(np.asarray(d.solution.current)).all()
+
+
+@needs_8
+def test_halo_driver_f64_outer():
+    """The sharded time loop at the REFERENCE'S OUTER PRECISION
+    (``config.h:6-7``: double outer solve, float MG): an f64 8-device
+    halo run must match the single-device f64 run to f64 tightness —
+    the f32 variants above would mask a sharded-path cast that silently
+    truncates the outer solve."""
+    from ns_gls_tpu.driver import Driver
+
+    cfg = CFG | {
+        "simulation name": "cylinder",
+        "nu": 0.001,
+        "simulation u max": 0.3,
+        "precision": "f64",
+        "mg precision": "f32",
+        "lin relative tolerance": 1e-10,
+        "nonlinear tolerance": 1e-10,
+    }
+    d1 = Driver(Parameters.from_dict(cfg))
+    d1.run(max_steps=2)
+
+    d8 = Driver(Parameters.from_dict(cfg | {"n devices": 8}))
+    d8.run(max_steps=2)
+
+    a = np.asarray(d1.solution.current)
+    assert a.dtype == np.float64
+    b = np.asarray(d8.solution.current)
+    assert b.dtype == np.float64
+    assert np.allclose(a, b, atol=1e-9 * max(1.0, np.abs(a).max())), \
+        np.abs(a - b).max()
