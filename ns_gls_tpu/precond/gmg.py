@@ -308,12 +308,16 @@ class PreconditionerGMG:
         lam_min = lam_max / self.smoothing_range
         return 2.0 / (lam_min + lam_max)
 
-    def _refresh_smoother_state(self):
-        """Fused single-dispatch refresh of (inv_diag, omega) for every
-        smoothed level (single-device path)."""
+    def _refresh_smoother_state(self, with_omega: bool = True):
+        """Fused single-dispatch refresh of the per-level smoother state
+        (single-device path): inverse diagonals, plus the power-method
+        relaxation factors when ``with_omega`` (the omega estimate costs
+        ``eig_n_iterations`` level vmults per level — NS_OMEGA_REFRESH=N
+        lets ``initialize`` reuse omegas for N-1 rebuilds)."""
         from ns_gls_tpu.ops.assembly import diagonal_kernel
 
-        fn = getattr(self, "_refresh_fn", None)
+        attr = "_refresh_fn" if with_omega else "_refresh_fn_dg"
+        fn = getattr(self, attr, None)
         if fn is None:
             lvls = [
                 lvl for lvl in range(self.n_levels)
@@ -327,14 +331,17 @@ class PreconditionerGMG:
                 for i, lvl in enumerate(lvls):
                     d = kernels[i](*diag_args[i])
                     dinv = jnp.where(jnp.abs(d) > 1e-10, 1.0 / d, 1.0)
-                    om = self._estimate_omega_impl(
-                        level_args[i], dinv, lvl
-                    )
-                    outs.append((dinv, om))
+                    if with_omega:
+                        om = self._estimate_omega_impl(
+                            level_args[i], dinv, lvl
+                        )
+                        outs.append((dinv, om))
+                    else:
+                        outs.append((dinv,))
                 return tuple(outs)
 
             fn = jax.jit(impl)
-            self._refresh_fn = fn
+            setattr(self, attr, fn)
             self._refresh_lvls = lvls
         from ns_gls_tpu.ops.assembly import _diag_args
 
@@ -358,9 +365,21 @@ class PreconditionerGMG:
             # ONE jitted dispatch refreshes every level's inverse
             # diagonal AND relaxation factor (the per-level calls cost
             # ~2 device round trips per level per step on the tunnel);
-            # omegas stay device scalars in GMGArgs
+            # omegas stay device scalars in GMGArgs.
+            # NS_OMEGA_REFRESH=N reuses the power-method omegas for N-1
+            # rebuilds (they drift slowly with the linearization point;
+            # the damping factor only shapes smoother convergence, never
+            # the converged answer) — the diagonals still refresh every
+            # rebuild since they enter the smoother directly.
+            import os
+
+            n_om = int(os.environ.get("NS_OMEGA_REFRESH", "1"))
+            cache = getattr(self, "_omega_cache", None)
+            self._init_counter = getattr(self, "_init_counter", -1) + 1
+            reuse = (n_om > 1 and cache is not None
+                     and self._init_counter % n_om != 0)
             with timer("mg_init::smoother_state"):
-                outs = self._refresh_smoother_state()
+                outs = self._refresh_smoother_state(with_omega=not reuse)
             it = iter(outs)
             for lvl in range(self.n_levels):
                 if lvl == 0 and not self._needs_level0_args:
@@ -368,10 +387,13 @@ class PreconditionerGMG:
                     inv_diags_apply.append(())
                     omegas.append(())
                     continue
-                d, om = next(it)
+                tup = next(it)
+                d = tup[0]
+                om = cache[lvl] if reuse else tup[1]
                 inv_diags.append(d)
                 inv_diags_apply.append(d)
                 omegas.append(om)
+            self._omega_cache = omegas
         else:
             for lvl, op in enumerate(self.level_ops):
                 if lvl == 0 and not self._needs_level0_args:

@@ -158,3 +158,36 @@ def test_bench_helpers():
     assert sol > 0
     dt = bench.time_apply(op.vmult_pure, op.vmult_args, u, n_rep=3)
     assert dt > 0
+
+
+def test_omega_reuse_preserves_solution():
+    """NS_OMEGA_REFRESH=N reuses the power-method smoother damping for
+    N-1 preconditioner rebuilds; the damping only shapes smoother
+    convergence, so the converged time-stepped solution must agree with
+    the per-rebuild refresh to solver tolerance."""
+    import json
+    import os
+
+    import numpy as np
+
+    from ns_gls_tpu.config import Parameters
+    from ns_gls_tpu.driver import Driver
+    from ns_gls_tpu.utils import logging as nslog
+
+    nslog.set_verbose(False)
+    cfg = json.load(open(os.path.join(
+        os.path.dirname(__file__), "..", "input", "channel.json")))
+    cfg["output granularity"] = 0.0
+    cfg["paraview prefix"] = ""
+    sols = {}
+    for n in ("1", "4"):
+        os.environ["NS_OMEGA_REFRESH"] = n
+        try:
+            d = Driver(Parameters.from_dict(cfg))
+            d.run(max_steps=6)
+            sols[n] = np.asarray(d.solution.current)
+        finally:
+            del os.environ["NS_OMEGA_REFRESH"]
+    diff = (np.abs(sols["1"] - sols["4"]).max()
+            / np.abs(sols["1"]).max())
+    assert diff < 1e-6, diff

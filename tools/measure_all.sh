@@ -33,6 +33,8 @@ run layout python tools/bench_layout.py           # (N,4) vs flat elementwise/do
 T=1800 run step_ref1 python bench_step.py 1 3
 T=1800 run step_ref2 python bench_step.py 2 3
 T=2400 run step_ref3 python bench_step.py 3 2
+# omega-reuse A/B: skip the 20-it power method on 3 of 4 rebuilds
+T=1800 NS_OMEGA_REFRESH=4 run step_ref2_omega4 python bench_step.py 2 3
 # reference-grade tolerances on chip (VERDICT r3 #3): Newton abs 1e-7
 # vs the stored CPU-f64 baseline, then a 1e-7 production step lane
 T=1800 run tolerance_proof python tools/tolerance_proof.py
