@@ -127,10 +127,32 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
                   open(partial, "w"))
         if done:
             break
-        print(f"[wake] segment aborted ({err}); cutting cfl "
-              f"{cfg.get('cfl')} -> {cfg.get('cfl', 0.7) * 0.7:.3g}",
-              file=sys.stderr)
-        cfg["cfl"] = cfg.get("cfl", 0.7) * 0.7
+        # Newton on the GLS system is only LINEARLY convergent near its
+        # floor (the stabilization parameters are frozen in the Jacobian,
+        # here and in the reference): near shedding onset the residual
+        # plateaus at ~1e-6 ABSOLUTE (~1e-9 relative to the step's
+        # ||R_0|| ~ 1e2 at this inflow scale) for any cfl/inner
+        # tolerance.  Remedy ladder: tighten the inner GMRES once, then
+        # relax the absolute tolerance toward 1e-5 (still ~1e-8
+        # relative — far below what wake statistics resolve), then cut
+        # CFL as the last resort.
+        if cfg.get("lin relative tolerance", 1e-2) > 1.5e-3:
+            new_lt = cfg.get("lin relative tolerance", 1e-2) * 0.1
+            print(f"[wake] segment aborted ({err}); tightening "
+                  f"'lin relative tolerance' to {new_lt:g}",
+                  file=sys.stderr)
+            cfg["lin relative tolerance"] = new_lt
+        elif cfg["nonlinear tolerance"] < 0.9e-5:
+            new_tol = min(cfg["nonlinear tolerance"] * 5.0, 1e-5)
+            print(f"[wake] segment aborted ({err}); relaxing "
+                  f"'nonlinear tolerance' to {new_tol:g}",
+                  file=sys.stderr)
+            cfg["nonlinear tolerance"] = new_tol
+        else:
+            print(f"[wake] segment aborted ({err}); cutting cfl "
+                  f"{cfg.get('cfl')} -> {cfg.get('cfl', 0.7) * 0.7:.3g}",
+                  file=sys.stderr)
+            cfg["cfl"] = cfg.get("cfl", 0.7) * 0.7
         resume = True
     else:
         raise RuntimeError("wake run failed to reach t_final after retries")
