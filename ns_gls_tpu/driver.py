@@ -329,14 +329,23 @@ class Driver:
         nl.evaluate_residual = lambda u: self.op.evaluate_residual(u)
         nl.solve_with_jacobian = self._solve_with_jacobian
         if p.n_devices == 1 and hasattr(self.op, "residual_pure"):
-            # fused Newton advance (single-device; the sharded wrapper
-            # keeps the classic callback sequence)
+            # fused Newton advance (single-device)
             nl.advance_and_residual = self._advance_and_residual
             if not self.op.outflow_bcs_nitsche:
                 # the fused entry skips the (host-cached) Nitsche
                 # face-target hook, so keep the classic entry there
                 nl.prepare_residual = (
                     lambda u: self._advance_and_residual(
+                        u, jnp.zeros_like(u)
+                    )[1:]
+                )
+        elif hasattr(self.op, "_localize_state"):
+            # fused Newton advance on the halo-sharded path (same
+            # dispatch discipline: one device call per Newton iteration)
+            nl.advance_and_residual = self._advance_and_residual_sharded
+            if not self.op.outflow_bcs_nitsche:
+                nl.prepare_residual = (
+                    lambda u: self._advance_and_residual_sharded(
                         u, jnp.zeros_like(u)
                     )[1:]
                 )
@@ -674,6 +683,55 @@ class Driver:
             )
             op.state = st2
             op._valid_system = False
+        return u2, rhs, l2
+
+    def _advance_and_residual_sharded(self, u, inc):
+        """Fused Newton advance on the halo-sharded path: u + inc,
+        re-linearize the wrapped operator, localize the new state into
+        the per-device windows, sharded residual sweep + norm — ONE
+        device dispatch, mirroring the single-device
+        ``_advance_and_residual`` (the classic callback sequence pays
+        ~8 dispatches per Newton iteration here: set-linearization,
+        localize, to_dist, sweep, to_global, norm, ...)."""
+        with timer("setup_jacobian"):
+            fn = getattr(self, "_adv_res_sh_fn", None)
+            hop = self.op                    # HaloShardedOperator
+            iop = hop.op                     # wrapped NavierStokesOperator
+            if fn is None:
+                hop.vmult_args               # builds hop._localize_state
+
+                def impl(ibatch, ifaces, istate, tmpl, u, inc, weight,
+                         stau):
+                    u2 = u + inc
+                    st2 = iop._set_linearization_impl(
+                        ibatch, ifaces,
+                        istate._replace(weight=weight, stau=stau), u2,
+                    )
+                    largs = tmpl._replace(state=hop._localize_state(st2))
+                    rhs = hop.to_global(
+                        hop.residual_pure(largs, hop.to_dist(u2))
+                    )
+                    from ns_gls_tpu.solvers.linear import acc_norm
+
+                    return u2, st2, largs, rhs, acc_norm(rhs)
+
+                fn = jax.jit(impl)
+                self._adv_res_sh_fn = fn
+            # localized-args template: every non-state component of the
+            # HaloArgs pytree, passed as jit ARGUMENTS (not closure
+            # constants) so constraint updates flow without recompiles
+            tmpl = hop.vmult_args
+            tau = self.time_integrator.current_dt
+            u2, st2, largs, rhs, l2 = fn(
+                iop.batch, iop.face_blocks, iop.state, tmpl, u, inc,
+                jnp.asarray(self.time_integrator.primary_weight,
+                            iop.dtype),
+                jnp.asarray(0.0 if tau == 0.0 else 1.0 / tau, iop.dtype),
+            )
+            iop.state = st2
+            iop._valid_system = False
+            hop._args_cache = largs          # Jacobian solve reads these
+            hop._args_state_src = st2        # keep the identity check valid
         return u2, rhs, l2
 
     def _can_fuse_levels(self) -> bool:

@@ -301,6 +301,7 @@ class HaloShardedOperator:
         self._halo_patch3 = None
         self._patch3_sweep = None
         self._patch3_lin_idx = None
+        self._args_state_src = None
         if patches_of is not None and getattr(op, "_psweep", None) is not None:
             from ns_gls_tpu.parallel.halo_prism import build_halo_prism
 
@@ -444,7 +445,9 @@ class HaloShardedOperator:
             out = np.zeros((self.n_dev, L), inh.dtype)
             for d in range(self.n_dev):
                 out[d, : len(sels[d])] = inh[sels[d]]
-            self._cstr_i = self._ci_struct._replace(inhom=jnp.asarray(out))
+            self._cstr_i = self._ci_struct._replace(
+                inhom=jax.device_put(jnp.asarray(out), self._shard)
+            )
 
     # ------------------------------------------------------------------
     def _local_state(self):
@@ -557,6 +560,7 @@ class HaloShardedOperator:
                     vec_oldT=vec_oldT,
                 )
 
+            self._localize_fn = localize
             self._localize_state = jax.jit(localize)
         return self._localize_state(self.op.state)
 
@@ -811,8 +815,8 @@ class HaloShardedOperator:
 
         self.vmult_pure = vmult_fn
         self.residual_pure = residual_fn
-        self._vmult = jax.jit(vmult_fn)
-        self._residual = jax.jit(residual_fn)
+        self._vmult = jax.jit(vmult_fn, out_shardings=self._shard)
+        self._residual = jax.jit(residual_fn, out_shardings=self._shard)
 
         own_global, own_mask = self._own_global, self._own_mask
         n_nodes = op.n_nodes
@@ -833,8 +837,55 @@ class HaloShardedOperator:
             )
             return out
 
-        self.to_dist = jax.jit(to_dist_fn)
-        self.to_global = jax.jit(to_global_fn)
+        self.to_dist = jax.jit(to_dist_fn, out_shardings=self._shard)
+        self.to_global = jax.jit(to_global_fn, out_shardings=self._repl)
+        self._pin_shardings()
+
+    def _pin_shardings(self):
+        """Pin every args-template leaf (and the wrapped operator's
+        full-size tables) to its steady-state sharding ONCE, and make
+        the jitted producers EMIT those shardings.  Without this, every
+        jitted solver call re-shards each mismatched argument leaf on
+        entry (``shard_device_array``/``_multi_slice``) — measured 116
+        extra executable launches per steady solver cycle on the
+        8-device dryrun, and real D2D copies on multi-chip hardware."""
+        specs = self._args_specs()
+        mesh = self.mesh
+
+        def put(x, s):
+            if hasattr(x, "ndim"):
+                return jax.device_put(x, NamedSharding(mesh, s))
+            return x
+
+        # replicate the wrapped operator's full-size tables FIRST (they
+        # enter the fused sharded Newton advance every iteration), so the
+        # template localized below is built from the final state pytree
+        put_r = (lambda x: jax.device_put(x, self._repl)
+                 if hasattr(x, "ndim") else x)
+        self.op.batch = jax.tree.map(put_r, self.op.batch)
+        self.op.face_blocks = jax.tree.map(put_r, self.op.face_blocks)
+        self.op.state = jax.tree.map(put_r, self.op.state)
+
+        placed = jax.tree.map(put, self._args_template(), specs)
+        self.batch = placed.batch
+        self.face_blocks = placed.faces
+        self._cstr_h = placed.cstr_h
+        self._cstr_own = placed.cstr_own
+        self._cstr_i = placed.cstr_i
+        if placed.prism:
+            self._halo_prism = placed.prism[0]
+        if placed.patch2:
+            self._halo_patch2 = placed.patch2[0]
+        if placed.patch3:
+            self._halo_patch3 = placed.patch3[0]
+        # the state localizer re-runs after every linearization/history
+        # update: re-jit it to emit the pinned shardings directly
+        st_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs.state)
+        self._localize_state = jax.jit(
+            self._localize_fn, out_shardings=st_sh
+        )
+        self._args_cache = placed
+        self._args_state_src = self.op.state
 
     def _args_specs(self) -> HaloArgs:
         """PartitionSpec pytree matching ``vmult_args`` (P(AXIS) on every
@@ -934,8 +985,17 @@ class HaloShardedOperator:
         solve reads this every Newton iteration — rebuilding each time
         reintroduced the per-step dispatch storm on the multi-chip path
         (round-3 review weak #3)."""
-        if self._args_cache is None:
+        if (self._args_cache is None
+                or self._args_state_src is not self.op.state):
+            # identity check on the wrapped state pytree: every
+            # linearization/history/weight mutation REPLACES op.state
+            # (NamedTuple), so `is` catches them all — including direct
+            # ``op.state =`` writes that never touch this wrapper's
+            # delegates (the MG level-apply wrappers receive no delegate
+            # calls at all; without this check their caches served the
+            # CONSTRUCTION-time linearization to every V-cycle)
             self._args_cache = self._args_template()
+            self._args_state_src = self.op.state
         return self._args_cache
 
     def vmult(self, u):
@@ -984,6 +1044,10 @@ class HaloShardedOperator:
     def constraints_inhomogeneous(self, value):
         self.op.constraints_inhomogeneous = value
         self._set_cstr_inhom(value)
+
+    @property
+    def outflow_bcs_nitsche(self):
+        return self.op.outflow_bcs_nitsche
 
     @property
     def space(self):
