@@ -282,31 +282,44 @@ def _delta(sc, h1, hq, usq_max, usq_q, cell_wise):
 
 def _pad_rows_to(a, n):
     """Zero-pad a 2D array's row extent to n (for shared band operands
-    whose contraction axis was lane-padded on the other side)."""
-    return jnp.zeros((n, a.shape[1]), a.dtype).at[: a.shape[0]].set(a)
+    whose contraction axis was lane-padded on the other side).
+
+    Static concat, NOT ``.at[:].set`` — the latter lowers to a
+    ``scatter`` primitive that Mosaic's Pallas TPU backend rejects
+    (first observed on the real chip, round 4)."""
+    if a.shape[0] == n:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros((n - a.shape[0], a.shape[1]), a.dtype)], axis=0
+    )
 
 
 def _lane_cat(tiles, w):
-    """Concatenate 2D tiles along lanes at 128-aligned offsets w."""
-    out = jnp.zeros((tiles[0].shape[0], len(tiles) * w), jnp.float32)
-    for j, t in enumerate(tiles):
-        out = jax.lax.dynamic_update_slice(out, t, (0, j * w))
-    return out
+    """Concatenate 2D tiles along lanes at 128-aligned offsets w.
+
+    Static lane-pad + concat, NOT ``dynamic_update_slice`` into zeros —
+    Mosaic's Pallas TPU backend implements neither ``scatter`` nor
+    ``dynamic_update_slice`` (first observed on the real chip, round 4);
+    concatenate of statically-sliced tiles lowers fine."""
+    padded = []
+    for t in tiles:
+        if t.shape[1] != w:
+            t = jnp.concatenate(
+                [t, jnp.zeros((t.shape[0], w - t.shape[1]), t.dtype)],
+                axis=1,
+            )
+        padded.append(t)
+    return jnp.concatenate(padded, axis=1)
 
 
 def _lane_to_rows(big, nb, w):
     """(r, nb*w) lane blocks -> (nb*r, w) row blocks (layout-preserving
     tile copies; keeps wide-matmul outputs consumable by a second wide
-    matmul on the other axis)."""
-    r = big.shape[0]
-    out = jnp.zeros((nb * r, w), big.dtype)
-    for j in range(nb):
-        out = jax.lax.dynamic_update_slice(
-            out,
-            jax.lax.dynamic_slice(big, (0, j * w), (r, w)),
-            (j * r, 0),
-        )
-    return out
+    matmul on the other axis). Static slices + one concat — see
+    ``_lane_cat`` for why no dynamic_update_slice."""
+    return jnp.concatenate(
+        [big[:, j * w:(j + 1) * w] for j in range(nb)], axis=0
+    )
 
 
 def _unstack_rows(M, lead, n_pl, blk):
