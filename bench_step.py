@@ -28,8 +28,6 @@ def main():
     if "--timers" in sys.argv:
         # per-phase attribution needs every scope fenced (costs ~29 ms
         # per scope over the tunnel — only when asked for)
-        import os
-
         os.environ.setdefault("NS_TIMER_FENCE", "all")
 
     from ns_gls_tpu.config import Parameters

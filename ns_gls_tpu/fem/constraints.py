@@ -162,7 +162,9 @@ def distribute(ca: ConstraintArrays, u: jnp.ndarray,
     vals = (uf[ca.cols] * ca.weights).sum(axis=1)
     if not homogeneous:
         vals = vals + ca.inhom
-    return uf.at[ca.rows].set(vals).reshape(shape)
+    # weights/inhom may be wider (f64) than u (f32): scatter operands
+    # must match dtypes (a FutureWarning today, an error in future JAX)
+    return uf.at[ca.rows].set(vals.astype(uf.dtype)).reshape(shape)
 
 
 @jax.jit
@@ -184,7 +186,7 @@ def condense_transpose(ca: ConstraintArrays, r: jnp.ndarray) -> jnp.ndarray:
     rf = r.reshape(-1)
     vals = rf[ca.rows]
     rf = rf.at[ca.cols.reshape(-1)].add(
-        (ca.weights * vals[:, None]).reshape(-1)
+        (ca.weights * vals[:, None]).reshape(-1).astype(rf.dtype)
     )
     rf = rf.at[ca.rows].set(0.0)
     return rf.reshape(shape)

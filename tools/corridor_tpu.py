@@ -86,12 +86,17 @@ def main():
     drag = np.array([r["drag"] for r in recs])
     lift = np.array([r["lift"] for r in recs])
     s = shedding_stats(t, drag, lift)
-    json.dump(
-        [dict(t=float(r["t"]), drag=float(r["drag"]),
-              lift=float(r["lift"]), p_diff=float(r["p_diff"]))
-         for r in recs],
-        open(f"/tmp/turek2d2_tpu_ref{ref}_series.json", "w"),
-    )
+    import gzip
+
+    with gzip.open(
+        f"validation/corridor_tpu_r5_ref{ref}_series.json.gz", "wt"
+    ) as f:
+        json.dump(
+            [dict(t=float(r["t"]), drag=float(r["drag"]),
+                  lift=float(r["lift"]), p_diff=float(r["p_diff"]))
+             for r in recs],
+            f,
+        )
 
     # stored converged (CPU f64) series at the same discretization
     ok = True
@@ -114,7 +119,7 @@ def main():
     ok &= 0.286 < s["strouhal"] < 0.306
     ok &= s["lift_min"] < -0.85
 
-    print(json.dumps({
+    verdict = {
         "metric": "turek_2d2_corridor_tpu",
         "backend": jax.default_backend(),
         "stats": s,
@@ -122,7 +127,9 @@ def main():
         "steps": len(recs),
         "wall_s": round(wall, 1),
         "ok": bool(ok),
-    }), flush=True)
+    }
+    json.dump(verdict, open("validation/corridor_tpu_r5.json", "w"))
+    print(json.dumps(verdict), flush=True)
     sys.exit(0 if ok else 1)
 
 

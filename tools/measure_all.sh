@@ -1,10 +1,11 @@
 #!/bin/bash
 # One-shot on-chip measurement sweep (run when the TPU tunnel is up).
-# Each lane appends to /tmp/measure_all_r4.jsonl so a mid-sweep tunnel
-# drop keeps earlier results.
+# Each lane appends to validation/measure_all_r5.jsonl (COMMITTED, not
+# /tmp — the round-4 process bug) so a mid-sweep tunnel drop keeps
+# earlier results.  Fast + decision-gating lanes run first.
 set -u
-OUT=${1:-/tmp/measure_all_r4.jsonl}
 cd "$(dirname "$0")/.."
+OUT=${1:-validation/measure_all_r5.jsonl}
 
 run() {
   name=$1; shift
@@ -22,23 +23,27 @@ run() {
   fi
 }
 
+# --- fast operator lanes (minutes each) -------------------------------
 run bench_3d_ref5 python bench.py                 # structured hypercube (BENCH lane)
-run bench_turek python bench.py --turek           # prism path on the real Turek 3D mesh
-run bench_turek2d python bench.py --turek2d       # patch2d path on the Turek 2D mesh
-run bench_sphere python bench.py --sphere         # patch3d path on the Gmsh sphere mesh
 # qz/qy sublane-stacked q-point physics A/B (round 4; PERF.md)
 NS_QZ_STACK=1 run bench_3d_ref5_qzstack python bench.py
+run bench_turek python bench.py --turek           # prism path on the real Turek 3D mesh
 NS_QZ_STACK=1 run bench_turek_qzstack python bench.py --turek
+run bench_turek2d python bench.py --turek2d       # patch2d path on the Turek 2D mesh
+run bench_sphere python bench.py --sphere         # patch3d path on the Gmsh sphere mesh
 run layout python tools/bench_layout.py           # (N,4) vs flat elementwise/dots
+# --- decision gates ----------------------------------------------------
+# reference-grade tolerances on chip (VERDICT r3 #3 / r4 #3): Newton abs
+# 1e-7 vs the stored CPU-f64 baseline — gates the default-tolerance flip
+T=1800 run tolerance_proof python tools/tolerance_proof.py
+# --- s/step lanes -------------------------------------------------------
 T=1800 run step_ref1 python bench_step.py 1 3
 T=1800 run step_ref2 python bench_step.py 2 3
 T=2400 run step_ref3 python bench_step.py 3 2
 # omega-reuse A/B: skip the 20-it power method on 3 of 4 rebuilds
 T=1800 NS_OMEGA_REFRESH=4 run step_ref2_omega4 python bench_step.py 2 3
-# reference-grade tolerances on chip (VERDICT r3 #3): Newton abs 1e-7
-# vs the stored CPU-f64 baseline, then a 1e-7 production step lane
-T=1800 run tolerance_proof python tools/tolerance_proof.py
 T=1800 NS_STEP_TOL=1e-7 run step_ref1_tol7 python bench_step.py 1 3
-# on-chip corridor re-certification post-dispatch-fusion (VERDICT r3 #6)
+# --- physics re-certification (long) -----------------------------------
+# on-chip corridor with the patch2d operator post-dispatch-fusion
 T=7200 run corridor_tpu python tools/corridor_tpu.py
 echo "done -> $OUT" >&2
