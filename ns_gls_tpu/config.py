@@ -100,6 +100,11 @@ class Parameters:
     preconditioner: str = "ILU"
     gmg: GMGParameters = dataclasses.field(default_factory=GMGParameters)
     gmg_constraint_coarse_pressure_dof: bool = False
+    # GMG-LS with 'n devices' > 1: accept the distributed global-
+    # coarsening cycle in place of local smoothing (explicit choice;
+    # the reference runs LS under MPI, ``multigrid.cc:247-593``, but
+    # every reference benchmark config uses GC)
+    gmg_ls_parallel_fallback: bool = True
     # "newton": rebuild diagonals/omegas/coarse hierarchy every Newton
     # iteration (reference semantics, main.cc:815-839); "step": once per
     # time step — the level linearization STATE is still refreshed every
@@ -113,6 +118,11 @@ class Parameters:
     nonlinear_solver: str = "linearized"
     newton_inexact: bool = False
     nonlinear_tolerance: float = 1e-7  # ref hardcodes 1e-7 (solver_nl.cc:30)
+    # iteration cap (ref hardcodes 30, solver_nl.cc:31); Newton on the
+    # GLS system is only LINEARLY convergent near its floor (frozen
+    # stabilization in the Jacobian), so stiff transients at absolute
+    # tolerances may legitimately need more
+    nonlinear_max_iterations: int = 30
     # extension: per-step relative Newton tolerance (f32-honest criterion;
     # the reference's absolute 1e-7 assumes the f64 outer solve)
     nonlinear_tolerance_relative: bool = False
@@ -166,9 +176,11 @@ class Parameters:
         "preconditioner update granularity":
             "preconditioner_update_granularity",
         "gmg constraint coarse pressure dof": "gmg_constraint_coarse_pressure_dof",
+        "gmg ls parallel fallback": "gmg_ls_parallel_fallback",
         "nonlinear solver": "nonlinear_solver",
         "newton inexact": "newton_inexact",
         "nonlinear tolerance": "nonlinear_tolerance",
+        "nonlinear max iterations": "nonlinear_max_iterations",
         "nonlinear tolerance relative": "nonlinear_tolerance_relative",
         "paraview prefix": "paraview_prefix",
         "output granularity": "output_granularity",

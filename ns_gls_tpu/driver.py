@@ -266,6 +266,22 @@ class Driver:
                                    increment_form, mg_dtype)
             elif p.preconditioner in ("GMG", "GMG-LS"):
                 if p.preconditioner == "GMG-LS":
+                    # EXPLICIT config choice (not a silent substitution):
+                    # the multi-device cycle is the distributed
+                    # global-coarsening V-cycle; a user who needs the
+                    # local-smoothing cycle itself must opt in to the
+                    # fallback with "gmg ls parallel fallback": true.
+                    # (Every reference benchmark config uses GC;
+                    # ``multigrid.cc:247-593`` runs LS under MPI, which
+                    # this framework covers with the GC cycle instead.)
+                    if not p.gmg_ls_parallel_fallback:
+                        raise ValueError(
+                            "preconditioner 'GMG-LS' with 'n devices' > 1 "
+                            "is served by the distributed global-"
+                            "coarsening GMG cycle; set "
+                            '"gmg ls parallel fallback": true to accept '
+                            "it (or use preconditioner 'GMG')"
+                        )
                     import warnings
 
                     warnings.warn(
@@ -321,7 +337,8 @@ class Driver:
         # ---- nonlinear solver ----------------------------------------------
         nl = make_nonlinear_solver(p.nonlinear_solver, p.newton_inexact,
                                    p.nonlinear_tolerance,
-                                   p.nonlinear_tolerance_relative)
+                                   p.nonlinear_tolerance_relative,
+                                   p.nonlinear_max_iterations)
         nl.logger = self.log
         nl.setup_jacobian = self._setup_jacobian
         nl.setup_preconditioner = self._setup_preconditioner
@@ -734,13 +751,29 @@ class Driver:
             hop._args_state_src = st2        # keep the identity check valid
         return u2, rhs, l2
 
+    def _sharded_level_hops(self):
+        """The preconditioner's per-level HaloShardedOperator wrappers
+        when the fully distributed V-cycle is active (None otherwise) —
+        their localized-args caches are refreshed inside the fused
+        per-level update chains so the sharded path keeps the same
+        dispatch discipline as the single-device one."""
+        pre = getattr(self, "preconditioner", None)
+        hops = getattr(pre, "level_ops_apply", None)
+        if hops and all(hasattr(h, "_localize_fn")
+                        or hasattr(h, "_local_state") for h in hops):
+            return hops
+        return None
+
     def _can_fuse_levels(self) -> bool:
         """The fused per-level update chains cover the production
-        configurations (single device, no Nitsche targets on level
-        ops); anything else takes the per-level calls."""
+        configurations (single device OR the halo-sharded V-cycle, no
+        Nitsche targets on level ops); anything else takes the
+        per-level calls."""
+        if any(op.outflow_bcs_nitsche for op in self.mg_ops):
+            return False
         return (
             self.params.n_devices == 1
-            and not any(op.outflow_bcs_nitsche for op in self.mg_ops)
+            or self._sharded_level_hops() is not None
         )
 
     def _ls_idx(self):
@@ -785,43 +818,58 @@ class Driver:
     def _fused_level_linearization(self, u):
         """Interpolation chain + every level's set_linearization_point in
         ONE jitted dispatch (the per-level calls cost ~2 device round
-        trips per level per Newton step on the tunneled TPU)."""
+        trips per level per Newton step on the tunneled TPU).  On the
+        halo-sharded path the same dispatch also re-localizes every
+        level wrapper's args pytree (the lazy per-level rebuilds were
+        ~2 x n_levels extra launches per Newton step)."""
         fn = getattr(self, "_lvl_lin_fn", None)
+        hops = self._sharded_level_hops()
+        if hops is not None:
+            for h in hops:
+                h.vmult_args            # build h._localize_fn once
         if fn is None:
             ops = tuple(self.mg_ops)
             mgdt = self.params.mg_dtype
+            loc = (tuple(h._localize_fn for h in hops)
+                   if hops is not None else None)
 
-            def impl(transfers, batches, faces, states, u, weight, stau,
-                     ls_idx):
+            def impl(transfers, batches, faces, states, tmpls, u, weight,
+                     stau, ls_idx):
                 levels = self._level_chain(transfers, ls_idx,
                                            u.astype(mgdt))
                 out = []
+                largs = []
                 for l in range(len(ops)):
                     st = states[l]._replace(weight=weight, stau=stau)
-                    out.append(
-                        ops[l]._set_linearization_impl(
-                            batches[l], faces[l], st, levels[l]
-                        )
+                    st2 = ops[l]._set_linearization_impl(
+                        batches[l], faces[l], st, levels[l]
                     )
-                return tuple(out)
+                    out.append(st2)
+                    if loc is not None:
+                        largs.append(tmpls[l]._replace(state=loc[l](st2)))
+                return tuple(out), tuple(largs)
 
             fn = jax.jit(impl)
             self._lvl_lin_fn = fn
         tau = self.time_integrator.current_dt
         mgdt = self.params.mg_dtype
-        new_states = fn(
+        new_states, new_largs = fn(
             tuple(self.mg_transfers),
             tuple(op.batch for op in self.mg_ops),
             tuple(op.face_blocks for op in self.mg_ops),
             tuple(op.state for op in self.mg_ops),
+            tuple(h.vmult_args for h in hops) if hops is not None else (),
             u,
             jnp.asarray(self.time_integrator.primary_weight, mgdt),
             jnp.asarray(0.0 if tau == 0.0 else 1.0 / tau, mgdt),
             self._ls_idx(),
         )
-        for op_l, st in zip(self.mg_ops, new_states):
+        for l, (op_l, st) in enumerate(zip(self.mg_ops, new_states)):
             op_l._valid_system = False
             op_l.state = st
+            if hops is not None:
+                hops[l]._args_cache = new_largs[l]
+                hops[l]._args_state_src = st
 
     def _setup_preconditioner(self, u):
         with timer("setup_preconditioner"):
@@ -896,6 +944,56 @@ class Driver:
                 if ls.logger:
                     ls.logger(f"    [L] solved in {ls._last_it} iterations.")
                 return dst
+            if isinstance(ls, LinearSolverGMRES) and hasattr(ls.op,
+                                                             "to_dist"):
+                # fused halo-sharded Jacobian solve: constraint zeroing,
+                # tolerance, the global->distributed scatter, the Krylov
+                # loop (distributed layout end to end), the gather and
+                # the constraint distribution in ONE dispatch — the
+                # unfused sequence was ~6 launches per Newton iteration
+                fn = getattr(self, "_solve_sh_fn", None)
+                if fn is None:
+                    from ns_gls_tpu.solvers.linear import acc_norm, gmres
+
+                    op, pre = ls.op, ls.preconditioner
+                    restart = ls.restart
+                    max_restarts = max(1, ls.n_max_iterations // restart)
+                    if getattr(pre, "distributed", False):
+                        M = pre.vmult_pure
+                    else:
+                        def M(margs, x):
+                            return op.to_dist(
+                                pre.vmult_pure(margs, op.to_global(x))
+                            )
+
+                    def impl(a_args, m_args, ca, b, rel, ab):
+                        b0 = cstr.set_zero(ca, b)
+                        tol = jnp.maximum(rel * acc_norm(b0), ab)
+                        bd = op.to_dist(b0)
+                        res = gmres(
+                            op.vmult_pure, a_args, bd,
+                            jnp.zeros_like(bd), M=M, m_args=m_args,
+                            tol=tol, restart=restart,
+                            max_restarts=max_restarts,
+                        )
+                        x = op.to_global(res.x)
+                        return (
+                            cstr.distribute(ca, x, homogeneous=True),
+                            res.iterations,
+                        )
+
+                    fn = jax.jit(impl)
+                    self._solve_sh_fn = fn
+                dst, its = fn(
+                    ls.op.vmult_args, ls.preconditioner.vmult_args,
+                    self.csets.homogeneous, rhs,
+                    jnp.asarray(ls.rel_tol, rhs.dtype),
+                    jnp.asarray(ls.abs_tol, rhs.dtype),
+                )
+                ls._last_it = int(its)
+                if ls.logger:
+                    ls.logger(f"    [L] solved in {ls._last_it} iterations.")
+                return dst
             rhs = cstr.set_zero(self.csets.homogeneous, rhs)
             dst = ls.solve(rhs)
             return cstr.distribute(self.csets.homogeneous, dst,
@@ -907,11 +1005,17 @@ class Driver:
         interpolations of the fine weighted sum (one chain instead of
         one per history vector), plus a u_old chain for theta tables."""
         fn = getattr(self, "_lvl_hist_fn", None)
+        hops = self._sharded_level_hops()
+        if hops is not None:
+            for h in hops:
+                h.vmult_args            # build h._localize_fn once
         if fn is None:
             ops = tuple(self.mg_ops)
             mgdt = self.params.mg_dtype
+            loc = (tuple(h._localize_fn for h in hops)
+                   if hops is not None else None)
 
-            def impl(transfers, batches, states, vec_old_f, u_old_f,
+            def impl(transfers, batches, states, tmpls, vec_old_f, u_old_f,
                      weight, stau, ls_idx):
                 n_l = len(ops)
 
@@ -923,18 +1027,22 @@ class Driver:
                 uo = (chain(u_old_f) if ops[0].theta != 1.0
                       else [None] * n_l)
                 outs = []
+                largs = []
                 # the BDF weights are O(1/dt): history tables trace at
                 # HIGHEST matmul precision like the fine op's set_prev
                 with jax.default_matmul_precision("highest"):
                     for l in range(n_l):
                         st = states[l]._replace(weight=weight, stau=stau)
-                        outs.append(
-                            ops[l]._set_previous_impl(
-                                batches[l], st, vo[l],
-                                uo[l] if uo[l] is not None else vo[l],
-                            )
+                        st2 = ops[l]._set_previous_impl(
+                            batches[l], st, vo[l],
+                            uo[l] if uo[l] is not None else vo[l],
                         )
-                return tuple(outs)
+                        outs.append(st2)
+                        if loc is not None:
+                            largs.append(
+                                tmpls[l]._replace(state=loc[l](st2))
+                            )
+                return tuple(outs), tuple(largs)
 
             fn = jax.jit(impl)
             self._lvl_hist_fn = fn
@@ -944,19 +1052,23 @@ class Driver:
         )
         tau = self.time_integrator.current_dt
         mgdt = self.params.mg_dtype
-        new_states = fn(
+        new_states, new_largs = fn(
             tuple(self.mg_transfers),
             tuple(op.batch for op in self.mg_ops),
             tuple(op.state for op in self.mg_ops),
+            tuple(h.vmult_args for h in hops) if hops is not None else (),
             vec_old_f,
             self.solution.vectors[1],
             jnp.asarray(self.time_integrator.primary_weight, mgdt),
             jnp.asarray(0.0 if tau == 0.0 else 1.0 / tau, mgdt),
             self._ls_idx(),
         )
-        for op_l, st in zip(self.mg_ops, new_states):
+        for l, (op_l, st) in enumerate(zip(self.mg_ops, new_states)):
             op_l._valid_system = False
             op_l.state = st
+            if hops is not None:
+                hops[l]._args_cache = new_largs[l]
+                hops[l]._args_state_src = st
 
     def _set_previous_solution(self):
         """(``main.cc:772-803``)"""

@@ -309,15 +309,19 @@ class PreconditionerGMG:
         return 2.0 / (lam_min + lam_max)
 
     def _refresh_smoother_state(self, with_omega: bool = True):
-        """Fused single-dispatch refresh of the per-level smoother state
-        (single-device path): inverse diagonals, plus the power-method
-        relaxation factors when ``with_omega`` (the omega estimate costs
-        ``eig_n_iterations`` level vmults per level — NS_OMEGA_REFRESH=N
-        lets ``initialize`` reuse omegas for N-1 rebuilds)."""
+        """Fused single-dispatch refresh of the per-level smoother state:
+        inverse diagonals, plus the power-method relaxation factors when
+        ``with_omega`` (the omega estimate costs ``eig_n_iterations``
+        level vmults per level — NS_OMEGA_REFRESH=N lets ``initialize``
+        reuse omegas for N-1 rebuilds).  On the distributed V-cycle the
+        same dispatch also scatters each diagonal into the halo layout
+        and runs the power method there (the per-level sequence was ~3
+        launches per level per rebuild)."""
         from ns_gls_tpu.ops.assembly import diagonal_kernel
 
         attr = "_refresh_fn" if with_omega else "_refresh_fn_dg"
         fn = getattr(self, attr, None)
+        distributed = self.distributed
         if fn is None:
             lvls = [
                 lvl for lvl in range(self.n_levels)
@@ -325,19 +329,22 @@ class PreconditionerGMG:
             ]
             kernels = [diagonal_kernel(self.level_ops[lvl])[0]
                        for lvl in lvls]
+            to_dist = ([self.level_ops_apply[lvl].to_dist for lvl in lvls]
+                       if distributed else None)
 
             def impl(diag_args, level_args):
                 outs = []
                 for i, lvl in enumerate(lvls):
                     d = kernels[i](*diag_args[i])
                     dinv = jnp.where(jnp.abs(d) > 1e-10, 1.0 / d, 1.0)
+                    dapp = to_dist[i](dinv) if distributed else dinv
                     if with_omega:
                         om = self._estimate_omega_impl(
-                            level_args[i], dinv, lvl
+                            level_args[i], dapp, lvl
                         )
-                        outs.append((dinv, om))
+                        outs.append((dinv, dapp, om))
                     else:
-                        outs.append((dinv,))
+                        outs.append((dinv, dapp))
                 return tuple(outs)
 
             fn = jax.jit(impl)
@@ -361,58 +368,39 @@ class PreconditionerGMG:
         inv_diags = []
         inv_diags_apply = []
         omegas = []
-        if not self.distributed:
-            # ONE jitted dispatch refreshes every level's inverse
-            # diagonal AND relaxation factor (the per-level calls cost
-            # ~2 device round trips per level per step on the tunnel);
-            # omegas stay device scalars in GMGArgs.
-            # NS_OMEGA_REFRESH=N reuses the power-method omegas for N-1
-            # rebuilds (they drift slowly with the linearization point;
-            # the damping factor only shapes smoother convergence, never
-            # the converged answer) — the diagonals still refresh every
-            # rebuild since they enter the smoother directly.
-            import os
+        # ONE jitted dispatch refreshes every level's inverse
+        # diagonal AND relaxation factor (the per-level calls cost
+        # ~2 device round trips per level per step on the tunnel);
+        # omegas stay device scalars in GMGArgs.  On the distributed
+        # V-cycle the smoother state lives in the halo layout (the
+        # diagnostics below still read the global copy).
+        # NS_OMEGA_REFRESH=N reuses the power-method omegas for N-1
+        # rebuilds (they drift slowly with the linearization point;
+        # the damping factor only shapes smoother convergence, never
+        # the converged answer) — the diagonals still refresh every
+        # rebuild since they enter the smoother directly.
+        import os
 
-            n_om = int(os.environ.get("NS_OMEGA_REFRESH", "1"))
-            cache = getattr(self, "_omega_cache", None)
-            self._init_counter = getattr(self, "_init_counter", -1) + 1
-            reuse = (n_om > 1 and cache is not None
-                     and self._init_counter % n_om != 0)
-            with timer("mg_init::smoother_state"):
-                outs = self._refresh_smoother_state(with_omega=not reuse)
-            it = iter(outs)
-            for lvl in range(self.n_levels):
-                if lvl == 0 and not self._needs_level0_args:
-                    inv_diags.append(())
-                    inv_diags_apply.append(())
-                    omegas.append(())
-                    continue
-                tup = next(it)
-                d = tup[0]
-                om = cache[lvl] if reuse else tup[1]
-                inv_diags.append(d)
-                inv_diags_apply.append(d)
-                omegas.append(om)
-            self._omega_cache = omegas
-        else:
-            for lvl, op in enumerate(self.level_ops):
-                if lvl == 0 and not self._needs_level0_args:
-                    inv_diags.append(())
-                    inv_diags_apply.append(())
-                    omegas.append(())
-                    continue
-                with timer("mg_init::diagonal"):
-                    d = compute_inverse_diagonal(op)
-                # smoother state lives in the distributed layout (the
-                # diagnostic below still reads the global copy)
-                d_apply = self.level_ops_apply[lvl].to_dist(d)
-                inv_diags.append(d)
-                inv_diags_apply.append(d_apply)
-                with timer("mg_init::omega"):
-                    om = self._estimate_omega(
-                        self.level_ops_apply[lvl].vmult_args, d_apply, lvl
-                    )
-                omegas.append(om)
+        n_om = int(os.environ.get("NS_OMEGA_REFRESH", "1"))
+        cache = getattr(self, "_omega_cache", None)
+        self._init_counter = getattr(self, "_init_counter", -1) + 1
+        reuse = (n_om > 1 and cache is not None
+                 and self._init_counter % n_om != 0)
+        with timer("mg_init::smoother_state"):
+            outs = self._refresh_smoother_state(with_omega=not reuse)
+        it = iter(outs)
+        for lvl in range(self.n_levels):
+            if lvl == 0 and not self._needs_level0_args:
+                inv_diags.append(())
+                inv_diags_apply.append(())
+                omegas.append(())
+                continue
+            tup = next(it)
+            om = cache[lvl] if reuse else tup[2]
+            inv_diags.append(tup[0])
+            inv_diags_apply.append(tup[1])
+            omegas.append(om)
+        self._omega_cache = omegas
 
         coarse_lu = ()
         n_coarse = self.level_ops[0].n_nodes * self.level_ops[0].n_comp

@@ -167,12 +167,15 @@ class NonLinearSolverPicard(NonLinearSolverBase):
 
 def make_nonlinear_solver(kind: str, inexact: bool = False,
                           tolerance: float = 1e-7,
-                          relative: bool = False) -> NonLinearSolverBase:
+                          relative: bool = False,
+                          max_iterations: int = 30) -> NonLinearSolverBase:
     if kind == "linearized":
         return NonLinearSolverLinearized()
     if kind == "Newton":
         return NonLinearSolverNewton(inexact=inexact, tolerance=tolerance,
-                                     relative=relative)
+                                     relative=relative,
+                                     max_iterations=max_iterations)
     if kind == "Picard":
-        return NonLinearSolverPicard(tolerance=tolerance)
+        return NonLinearSolverPicard(tolerance=tolerance,
+                                     max_iterations=max_iterations)
     raise ValueError(f"unknown nonlinear solver '{kind}'")

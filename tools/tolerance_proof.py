@@ -141,4 +141,25 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # first Mosaic compiles of the wide kernel schedules happen here
+        # on a fresh chip (same ladder as bench_step.py): retry once with
+        # the narrow per-(comp, plane) kernels; only compile/lowering
+        # failures are retried
+        import traceback
+
+        traceback.print_exc()
+        looks_like_compile = any(
+            s in f"{type(e).__name__}: {e}"
+            for s in ("Mosaic", "XlaRuntimeError", "lowering",
+                      "Unimplemented", "INTERNAL", "UNIMPLEMENTED")
+        )
+        if os.environ.get("NS_WIDE") == "0" or not looks_like_compile:
+            raise
+        print("wide kernel failed; retrying narrow (NS_WIDE=0)",
+              file=sys.stderr)
+        os.environ["NS_WIDE"] = "0"
+        os.environ["NS_PRISM_WIDE"] = "0"
+        os.execv(sys.executable, [sys.executable] + sys.argv)

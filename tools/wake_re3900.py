@@ -102,6 +102,11 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
         # sits below the f32 floor at this case's ||u|| ~ 39 inflow scale
         cfg["precision"] = "f64"
     cfg["nonlinear tolerance"] = nl_tol
+    # the GLS Newton is linearly convergent near its floor (frozen
+    # stabilization in the Jacobian): stiff transient steps that reach
+    # 1.2x tol at the reference's 30-iteration cap converge a few
+    # iterations later — give them room instead of cutting CFL
+    cfg["nonlinear max iterations"] = 100
     if cfl is not None:
         cfg["cfl"] = cfl
 
