@@ -69,13 +69,17 @@ def main():
             "simulation t init": 0.01,
             "simulation u max": 2.25,
             "precision": "f32",  # TPU-native outer precision
-            # NS_STEP_TOL overrides: tools/tolerance_proof.py certifies
-            # the reference's absolute 1e-7 (solver_nl.cc:27) on-chip
-            # (exact-f32 residual + f64-accumulated dots); the default
-            # stays at the measured-comparable 5e-4 until the proof lane
-            # has run on real hardware, then flips to 1e-7
+            # Production tolerance, proven on chip: the f32 residual
+            # evaluation floors at 1.2e-6 absolute on this config
+            # (measured, validation/measure_all_r5.jsonl step_ref1_tol7;
+            # the reference's 1e-7 of ``solver_nl.cc:27`` is an f64
+            # number below that floor), and at 2e-6 the on-chip Newton
+            # matches the CPU-f64 1e-7 baseline step for step — fewer
+            # iterations AND drag to 3.1e-5
+            # (tools/tolerance_proof.py -> validation/
+            # tolerance_tpu_f32_ref1.json: ok=true).
             "nonlinear tolerance": float(
-                os.environ.get("NS_STEP_TOL", "5e-4")
+                os.environ.get("NS_STEP_TOL", "2e-6")
             ),
         }
     )

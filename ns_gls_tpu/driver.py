@@ -9,6 +9,7 @@ time loop with VTU output and case postprocessing.
 
 from __future__ import annotations
 
+import os
 import time as _time
 
 import jax
@@ -36,6 +37,32 @@ from ns_gls_tpu.solvers.linear import (
 from ns_gls_tpu.solvers.nonlinear import make_nonlinear_solver
 from ns_gls_tpu.utils.timer import timer
 from ns_gls_tpu.utils.logging import get_logger
+
+
+def pressure_pin_candidates(space) -> np.ndarray:
+    """Node indices at ROOT-mesh vertex positions, in lexicographic
+    position order.
+
+    The pressure pin must land on the SAME physical point on the fine
+    level and on every multigrid level (``main.cc:453-477`` pins the
+    coarse level; we pin the fine level too, see ConstraintSetBuilder):
+    a fine pin whose position no level pins leaves the constant-pressure
+    mode inconsistently gauged between the system and the V-cycle, which
+    degrades GMRES catastrophically (observed on the rotation config
+    when the patch numbering moved "node 0").  Root vertices persist on
+    every refinement level and are numbering-independent, so selecting
+    by root-vertex position makes every level agree."""
+    mesh = space.mesh
+    root = mesh
+    while root.prev is not None:
+        root = root.prev
+    rv = np.round(np.asarray(root.vertices, np.float64), 9)
+    rv = rv[np.lexsort(rv.T[::-1])]          # lexicographic by (x, y[, z])
+    pos = np.round(np.asarray(space.node_pos, np.float64), 9)
+    lut = {tuple(p): i for i, p in reversed(list(enumerate(pos)))}
+    return np.array(
+        [lut[tuple(p)] for p in rv if tuple(p) in lut], dtype=np.int64
+    )
 
 
 class ConstraintSetBuilder:
@@ -87,10 +114,18 @@ class ConstraintSetBuilder:
             for node, masters, weights in hanging:
                 b.add_hanging_node(node, None, masters, weights)
             if pin_pressure:
-                for n in range(space.n_nodes):
-                    if not b.is_constrained(b.dof(n, dim)):
-                        b.add_line(b.dof(n, dim))
+                # positional choice (root-vertex order, see
+                # pressure_pin_candidates) so every MG level pins the
+                # same physical point under any node numbering
+                for n in pressure_pin_candidates(space):
+                    if not b.is_constrained(b.dof(int(n), dim)):
+                        b.add_line(b.dof(int(n), dim))
                         break
+                else:
+                    for n in range(space.n_nodes):
+                        if not b.is_constrained(b.dof(n, dim)):
+                            b.add_line(b.dof(n, dim))
+                            break
             return b
 
         self.full = build(False).close(dtype)
@@ -199,6 +234,16 @@ class Driver:
             bid: fn for bid, fn in bcs.all_outflow_bcs_nitsche.items()
         }
 
+        # Jacobian-apply MXU precision (NS_JAC_PREC): single-pass bf16
+        # raises the raw apply 3290 -> 5359 MDoF/s but LOSES end to end
+        # — measured r5, ref-1 step at the production 2e-6 tolerance:
+        # 6.13 s/step (bf16) vs 2.54 (3x).  The 4e-3 matvec noise makes
+        # GMRES@1e-2 thrash, costing far more iterations than the
+        # cheaper passes save, so exact-f32 "3x" stays the default
+        # everywhere the operator drives a Krylov solve.  (The GMG
+        # level smoothers remain bf16 — they precondition only.)
+        jac_prec = os.environ.get("NS_JAC_PREC", "3x")
+
         with timer("setup::operator"):
             self.op = NavierStokesOperator(
                 space,
@@ -214,6 +259,7 @@ class Driver:
                 outflow_bcs_cut=bcs.all_outflow_bcs_cut,
                 outflow_bcs_nitsche=nitsche,
                 dtype=dtype,
+                structured_precision=jac_prec,
             )
             self.op.constraints_inhomogeneous = self.csets.inhomogeneous_at(0.0)
 
@@ -602,13 +648,20 @@ class Driver:
         )
 
     def _pin_coarse_pressure(self, space_l, ca: ConstraintArrays):
-        """Constrain the lowest pressure dof on the coarse level
-        (``main.cc:453-477``)."""
+        """Constrain one pressure dof on the level (``main.cc:453-477``),
+        chosen positionally (root-vertex order, see
+        pressure_pin_candidates) so every level — and the fine system's
+        pin in ConstraintSetBuilder — gauges the constant-pressure mode
+        at the same physical point under any node numbering."""
         dim = space_l.dim
-        dof = 0 * (dim + 1) + dim  # node 0's pressure dof
-        rows = np.asarray(ca.rows)
-        if dof in rows:
-            return ca
+        rows = set(np.asarray(ca.rows).tolist())
+        cand = [int(n) * (dim + 1) + dim
+                for n in pressure_pin_candidates(space_l)]
+        if not cand:
+            cand = [dim]             # node 0's pressure dof (fallback)
+        if any(d in rows for d in cand):
+            return ca                # already gauged at a canonical point
+        dof = cand[0]
         b = AffineConstraints(space_l.n_nodes, dim + 1)
         b.add_line(dof)
         extra = b.close(ca.weights.dtype)

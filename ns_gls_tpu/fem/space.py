@@ -383,11 +383,46 @@ class FESpace:
         # parts" #1).  Nodes are RENUMBERED by contribution count so each
         # count-class gets a dense (n_class, K_class) gather table with no
         # padding waste (XLA TPU gathers cost ~constant per row).
-        if self.structured or self.prism or self.patch2d or self.patch3d:
-            # lattice/product/patch numbering must be preserved (it IS the
+        self.node_gather_perm = None
+        if self.structured or self.prism:
+            # lattice/product numbering must be preserved (it IS the
             # fast path's gather); the general sweep on these spaces falls
             # back to scatter-add, which only tests/CPU paths use
             self.node_gather_classes = []
+            return
+        if self.patch2d or self.patch3d:
+            # patch numbering must be preserved too, but the general
+            # sweep on patch spaces is the production CPU path (the
+            # Pallas kernels are TPU programs), and f32 scatter-add
+            # summation noise measurably degrades Newton there (the
+            # adaptive rotation config stalled at 3.6e-5 vs an absolute
+            # 1e-6 tolerance).  Build the count-class gather tables over
+            # a count-sorted node ORDER and keep a final permutation
+            # back to the patch numbering instead of relabeling.
+            counts, order = native.transpose_map(self.cell_nodes,
+                                                 self.n_nodes)
+            perm = np.argsort(counts, kind="stable")   # count-sorted order
+            starts = np.concatenate([[0], np.cumsum(counts)])
+            flat_sz = self.cell_nodes.size
+            self.node_gather_classes = []
+            sc = counts[perm]
+            n0 = 0
+            while n0 < self.n_nodes:
+                K = int(sc[n0])
+                n1 = int(np.searchsorted(sc, K, side="right"))
+                idx = np.empty((n1 - n0, max(K, 1)), dtype=np.int32)
+                if K == 0:
+                    idx[:] = flat_sz          # unused: gather the zero pad
+                else:
+                    for k in range(K):
+                        idx[:, k] = order[starts[perm[n0:n1]] + k]
+                self.node_gather_classes.append((n0, max(K, 1), idx))
+                n0 = n1
+            inv = np.empty(self.n_nodes, dtype=np.int32)
+            inv[perm] = np.arange(self.n_nodes, dtype=np.int32)
+            # concat(classes) yields count-sorted order; node i's value
+            # sits at position inv[i]
+            self.node_gather_perm = inv
             return
         counts, _ = native.transpose_map(self.cell_nodes, self.n_nodes)
         perm = np.argsort(counts, kind="stable")      # old -> sorted order
@@ -414,39 +449,106 @@ class FESpace:
             self.node_gather_classes.append((n0, max(K, 1), idx))
             n0 = n1
 
+    def _uniform_blocks(self):
+        """Maximal uniform-refinement block decomposition of the final
+        mesh's cells over its stored generation chain: per final cell a
+        (block, lat) assignment, per block a size m (cells per axis) —
+        (2^k)^dim blocks of equal-depth siblings, down to single-cell
+        blocks where depths mix.  On a globally refined mesh this is one
+        full-chain block per coarse cell; on adaptively refined meshes
+        (the refine-in-wake workflow, ``simulation.cc:317-326``) it
+        yields the per-level patch families that keep a Pallas path.
+
+        Returns ``(block_of_cell, m_of_block, lat_of_cell)`` with block
+        ids compacted to ``0..n_blocks-1``; ``lat_of_cell`` is the cell's
+        integer lattice position inside its block."""
+        mesh = self.mesh
+        dim = mesh.dim
+        n = mesh.n_cells
+        chain = []
+        cur = mesh
+        while cur.prev is not None and cur.parent_cell is not None:
+            chain.append(cur)
+            cur = cur.prev
+        block_of_cell = np.arange(n, dtype=np.int64)
+        lat = np.zeros((n, dim), np.int64)
+        root = np.arange(n, dtype=np.int64)   # block -> cell id @ cur gen
+        m = np.ones(n, np.int64)              # block -> cells per axis
+        frozen = np.zeros(n, bool)            # block cannot merge further
+        alive = np.ones(n, bool)
+        # cap block size so the kernels' K = G*(P*m+1) <= 128 band cap
+        # always admits G >= 1 (deeply refined uniform meshes split into
+        # sub-patches instead of losing the fast path)
+        m_cap = 1
+        while self.degree * (2 * m_cap) + 1 <= 128:
+            m_cap *= 2
+        for gen in chain:                     # fine -> coarse
+            pc = np.asarray(gen.parent_cell, np.int64)
+            ch = np.asarray(gen.parent_child, np.int64)
+            act = np.nonzero(alive & ~frozen)[0]
+            r = root[act]
+            ref_mask = ch[r] >= 0
+            car = act[~ref_mask]
+            root[car] = pc[r[~ref_mask]]      # carried cells ride along
+            rb = act[ref_mask]
+            if rb.size == 0:
+                continue
+            rp = pc[r[ref_mask]]              # parent cell per block
+            rc = ch[r[ref_mask]]              # child slot per block
+            rm = m[rb]
+            n_prev = int(pc.max()) + 1
+            cnt = np.bincount(rp, minlength=n_prev)
+            mmin = np.full(n_prev, np.iinfo(np.int64).max)
+            mmax = np.zeros(n_prev, np.int64)
+            np.minimum.at(mmin, rp, rm)
+            np.maximum.at(mmax, rp, rm)
+            ok = (cnt == (1 << dim)) & (mmin == mmax) & (mmax < m_cap)
+            okb = ok[rp]
+            frozen[rb[~okb]] = True
+            mb = rb[okb]
+            if mb.size == 0:
+                continue
+            mp, mc, mm = rp[okb], rc[okb], m[mb]
+            # survivor block per merging parent: the child-slot-0 block
+            surv = np.full(n_prev, -1, np.int64)
+            surv[mp[mc == 0]] = mb[mc == 0]
+            blk_new = np.arange(n, dtype=np.int64)
+            blk_new[mb] = surv[mp]
+            blk_off = np.zeros((n, dim), np.int64)
+            blk_off[mb] = (
+                np.stack([(mc >> a) & 1 for a in range(dim)], axis=1)
+                * mm[:, None]
+            )
+            lat += blk_off[block_of_cell]
+            block_of_cell = blk_new[block_of_cell]
+            sv = surv[mp[mc == 0]]
+            root[sv] = mp[mc == 0]
+            m[sv] = 2 * m[sv]
+            alive[mb[mc != 0]] = False
+        # compact to 0..n_blocks-1
+        uniq, block_of_cell = np.unique(block_of_cell,
+                                        return_inverse=True)
+        return block_of_cell, m[uniq], lat
+
     def _build_patch2d_numbering(self) -> bool:
         """Patch-lattice numbering for general 2D meshes (the pure-2D
         analogue of ``_build_prism_numbering``'s 2D factor): cells group
-        into per-coarse-cell refinement patches — (2^r)^2 lattices on
+        into maximal uniform refinement patches — (2^r)^2 lattices on
         globally refined multiblock meshes (Turek 2D,
         ``grid_cylinder.h:7-151``), single-cell patches on meshes without
-        a refinement chain (Gmsh imports).  Nodes are relabeled sorted by
-        patch multiplicity so the kernel's seam-compress gather classes
-        are dense.  Returns False (leaving the general numbering to run)
-        on adaptive meshes or broken chains."""
+        a refinement chain (Gmsh imports), and per-size patch FAMILIES on
+        adaptively refined meshes (refine-in-wake,
+        ``simulation.cc:317-326`` + ``operator_ns.cc:949-1182``: the
+        reference's cell loop is fast on locally refined meshes too).
+        Nodes are relabeled sorted by total patch multiplicity so the
+        kernel's seam-compress gather classes are dense."""
         from ns_gls_tpu.utils import native
 
         mesh, P = self.mesh, self.degree
         el = self.element
         n1 = P + 1
 
-        chain = []
-        cur = mesh
-        while cur.prev is not None and cur.parent_cell is not None:
-            chain.append(cur)
-            cur = cur.prev
-        patch = np.arange(cur.n_cells, dtype=np.int64)
-        lat = np.zeros((cur.n_cells, 2), dtype=np.int64)
-        for gen in reversed(chain):
-            pc, ch = gen.parent_cell, gen.parent_child
-            if (ch < 0).any():
-                return False          # adaptive: mixed-depth cells
-            off = np.stack([ch & 1, (ch >> 1) & 1], axis=1)
-            patch = patch[pc]
-            lat = 2 * lat[pc] + off
-        m_ref = 1 << len(chain)
-        if len(patch) != mesh.n_cells:
-            return False              # chain does not reach this mesh
+        patch_all, m_blk, lat = self._uniform_blocks()
 
         S1 = _q1_shape(el.support_points)
         q1_pos = np.einsum("li,cid->cld", S1, mesh.vertices[mesh.cells])
@@ -455,30 +557,52 @@ class FESpace:
         ids, n_nodes = native.unique_rows(key)
         cell_nodes = ids.reshape(mesh.n_cells, el.n_loc)
 
-        Xn = P * m_ref + 1
-        patch_nodes = np.full((int(cur.n_cells), Xn, Xn), -1, np.int64)
         li = np.arange(el.n_loc) % n1
         lj = np.arange(el.n_loc) // n1
-        gx = (P * lat[:, 0])[:, None] + li[None, :]
-        gy = (P * lat[:, 1])[:, None] + lj[None, :]
-        patch_nodes[patch[:, None], gy, gx] = cell_nodes
-        if (patch_nodes < 0).any():
-            return False              # incomplete patch lattices
-
+        cell_ids = np.arange(mesh.n_cells)
+        families = []                 # (m, cells, patch_of, lat_of, pnodes)
         mult = np.zeros(n_nodes, dtype=np.int64)
-        np.add.at(mult, patch_nodes.reshape(-1), 1)
+        for m in np.unique(m_blk):
+            blocks = np.nonzero(m_blk == m)[0]
+            sel = np.isin(patch_all, blocks)
+            cells_f = cell_ids[sel]
+            remap = np.full(len(m_blk), -1, np.int64)
+            remap[blocks] = np.arange(len(blocks))
+            patch_f = remap[patch_all[sel]]
+            lat_f = lat[sel]
+            Xn = P * int(m) + 1
+            pnodes = np.full((len(blocks), Xn, Xn), -1, np.int64)
+            gx = (P * lat_f[:, 0])[:, None] + li[None, :]
+            gy = (P * lat_f[:, 1])[:, None] + lj[None, :]
+            pnodes[patch_f[:, None], gy, gx] = cell_nodes[cells_f]
+            if (pnodes < 0).any():
+                return False          # incomplete patch lattice (bug)
+            np.add.at(mult, pnodes.reshape(-1), 1)
+            families.append((int(m), cells_f, patch_f, lat_f, pnodes))
+
         perm = np.argsort(mult, kind="stable")
         relabel = np.empty(n_nodes, dtype=np.int64)
         relabel[perm] = np.arange(n_nodes)
         self.cell_nodes = relabel[cell_nodes].astype(np.int32)
         self.n_nodes = int(n_nodes)
-        self.n_patches = int(cur.n_cells)
-        self.patch_cells = m_ref
-        self.patch_of_cell2d = patch
-        self.lattice_of_cell2d = lat
-        self.patch_nodes = relabel[patch_nodes].astype(np.int32)
         self.node2d_mult = mult[perm]
         self.n2d = int(n_nodes)
+        self.patch2d_families = [
+            dict(m=m, n_patches=int(pnodes.shape[0]), cells=cells_f,
+                 patch_of_cell=patch_f, lattice_of_cell=lat_f,
+                 patch_nodes=relabel[pnodes].astype(np.int32))
+            for m, cells_f, patch_f, lat_f, pnodes in families
+        ]
+        if len(families) == 1:
+            # uniform: keep the legacy single-family attributes (the
+            # distributed halo_patch2d path and the prism-style
+            # consumers key off these)
+            m, cells_f, patch_f, lat_f, pnodes = families[0]
+            self.n_patches = int(pnodes.shape[0])
+            self.patch_cells = m
+            self.patch_of_cell2d = patch_f
+            self.lattice_of_cell2d = lat_f
+            self.patch_nodes = relabel[pnodes].astype(np.int32)
         return True
 
     def _build_patch3d_numbering(self) -> bool:

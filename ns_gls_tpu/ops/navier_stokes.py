@@ -56,6 +56,11 @@ class CellBatch(NamedTuple):
     #                          empty tuple => scatter-add fallback
     structured: tuple = ()   # (StructuredTables,) on structured patches
     #                          (the Pallas fast-path tables, ops/structured)
+    node_gather_perm: tuple = ()   # (perm,) when the gather classes are
+    #                          built over a count-sorted order instead of
+    #                          a relabel (patch spaces: the patch
+    #                          numbering is preserved; concat(classes)
+    #                          maps back through this permutation)
 
 
 class FaceBlock(NamedTuple):
@@ -298,6 +303,11 @@ class NavierStokesOperator:
                 (self._structured_tables,)
                 if self._structured_tables is not None else ()
             ),
+            node_gather_perm=(
+                (jnp.asarray(space.node_gather_perm),)
+                if getattr(space, "node_gather_perm", None) is not None
+                else ()
+            ),
         )
 
         self.face_blocks: tuple[FaceBlock, ...] = ()
@@ -370,13 +380,22 @@ class NavierStokesOperator:
             u_lin=z((nn, C)),
             vec_old=z((nn, C)),
             u_old=z((nn if self.theta != 1.0 else 0, C)),
-            u_linT=z(self._fast_path_view_shape(C)),
-            vec_oldT=z(self._fast_path_view_shape(d)),
+            u_linT=self._fast_path_zero(C, z),
+            vec_oldT=self._fast_path_zero(d, z),
         )
 
-    def _fast_path_view_shape(self, lead: int) -> tuple:
+    def _fast_path_zero(self, lead: int, z):
+        """Zero pytree matching ``_fast_path_view_shape`` (a tuple of
+        per-family tensors on adaptive patch2d meshes)."""
+        shp = self._fast_path_view_shape(lead)
+        if isinstance(shp, list):
+            return tuple(z(s) for s in shp)
+        return z(shp)
+
+    def _fast_path_view_shape(self, lead: int):
         """Shape of the fast-path linearization view: a free lattice
-        reshape (structured) or the pre-gathered patch planes (prism)."""
+        reshape (structured) or the pre-gathered patch planes (prism);
+        a LIST of shapes on adaptive multi-family patch2d meshes."""
         if self._ssweep is not None:
             return (lead,) + self._ssweep.lattice_shape
         if self._psweep is not None:
@@ -384,6 +403,11 @@ class NavierStokesOperator:
             return (lead, sw.n_groups * sw.PlY, sw.XrG, sw.Nzn)
         if self._p2sweep is not None:
             sw = self._p2sweep
+            if sw.multi:
+                return [
+                    (lead, fd["n_groups"], fd["GXn"], fd["HYn"])
+                    for fd in sw.fdims
+                ]
             return (lead, sw.n_groups, sw.GXn, sw.HYn)
         if self._p3sweep is not None:
             sw = self._p3sweep
@@ -636,7 +660,10 @@ class NavierStokesOperator:
                 [flat, jnp.zeros((1, self.n_comp), self.dtype)], axis=0
             )
             parts = [flat[idx].sum(axis=1) for idx in b.node_gather]
-            return jnp.concatenate(parts, axis=0)
+            out = jnp.concatenate(parts, axis=0)
+            if b.node_gather_perm:
+                out = out[b.node_gather_perm[0]]
+            return out
         r = jnp.zeros((self.n_nodes, self.n_comp), self.dtype)
         return r.at[b.cell_nodes].add(r_loc)
 

@@ -125,22 +125,46 @@ def _block_diag(b, n):
     return out
 
 
-def build_patch2d_tables(op):
-    """Host-side packing; None when the operator/space is unsupported."""
-    space = op.space
-    if not getattr(space, "patch2d", False):
-        return None
-    if op.theta != 1.0 or op.dtype != jnp.float32:
-        return None
-    if os.environ.get("NS_PATCH2D", "1") == "0":
-        return None
+class Patch2DTablesAdaptive(NamedTuple):
+    """Multi-family tables for adaptively refined meshes: one
+    :class:`Patch2DTables` per uniform patch family (``compress=()`` in
+    each) plus the GLOBAL seam-compress classes over the concatenation
+    of all families' flattened group tiles."""
 
+    fams: tuple
+    compress: tuple
+
+
+def _families_of(space):
+    """The space's patch families — synthesized from the legacy
+    single-family attributes when ``patch2d_families`` is absent (the
+    per-device fake spaces of parallel/halo_patch2d.py)."""
+    fams = getattr(space, "patch2d_families", None)
+    if fams is not None:
+        return fams
+    import numpy as _np
+
+    poc = getattr(space, "patch_of_cell2d", None)
+    return [dict(
+        m=space.patch_cells,
+        n_patches=space.n_patches,
+        cells=(_np.arange(len(poc)) if poc is not None else None),
+        patch_of_cell=poc,
+        lattice_of_cell=getattr(space, "lattice_of_cell2d", None),
+        patch_nodes=getattr(space, "patch_nodes", None),
+    )]
+
+
+def _family_tables(space, fam, C):
+    """Device tables for ONE patch family (no compress); returns
+    ``(tables, flat_nodes)`` — flat_nodes is the family's flattened
+    gather map for the global seam-compress build."""
     P = space.degree
     NQ = space.n_q1d
-    mx = my = space.patch_cells
+    mx = my = fam["m"]
     Xn = Yn = P * mx + 1
-    n_patches = space.n_patches
-    C = space.dim + 1
+    pn = fam["patch_nodes"]                  # (n_patches, Yn, Xn) [y, x]
+    n_patches = pn.shape[0]
     G, H = _pick_GH(n_patches, Xn, Yn, NQ, mx, my, C)
     GH = G * H
     n_groups = -(-n_patches // GH)
@@ -159,8 +183,9 @@ def build_patch2d_tables(op):
     jxw_t = np.zeros((n_groups, RGx, LHy), np.float32)
     h_t = np.ones((n_groups, 2, RGx, LHy), np.float32)
 
-    patch = space.patch_of_cell2d
-    lat = space.lattice_of_cell2d
+    cells = np.asarray(fam["cells"])
+    patch = np.asarray(fam["patch_of_cell"])
+    lat = np.asarray(fam["lattice_of_cell"])
     slot = np.arange(n_patches)              # patch p -> packing slot p
     g_of = slot // GH
     i_of = (slot % GH) // H
@@ -174,12 +199,12 @@ def build_patch2d_tables(op):
     rows = (ci[:, None] * Lx + qx[None, :] * mx + lat[:, 0:1])
     lanes = (cj[:, None] * Ly + qy[None, :] * my + lat[:, 1:2])
     # q = qx + NQ*qy (element q numbering, x fastest)
-    jinv = np.asarray(space.jinv, np.float32)      # (c, q, r, x)
-    jxw = np.asarray(space.jxw, np.float32)
-    h1 = np.asarray(space.cell_h_min_vertex, np.float32)
+    jinv = np.asarray(space.jinv, np.float32)[cells]   # (c, q, r, x)
+    jxw = np.asarray(space.jxw, np.float32)[cells]
+    h1 = np.asarray(space.cell_h_min_vertex, np.float32)[cells]
     hq = np.asarray(
         np.sqrt(4.0 * space.cell_measure / np.pi) / P, np.float32
-    )
+    )[cells]
     r_idx = rows[:, None, :]                  # (c, 1, NQ) broadcast qy
     l_idx = lanes[:, :, None]                 # (c, NQ, 1)
     q_idx = qx[None, None, :] + NQ * qy[None, :, None]   # (1, NQ, NQ)
@@ -198,38 +223,13 @@ def build_patch2d_tables(op):
     # ---- gather map ----------------------------------------------------
     n2d = space.n2d
     gather = np.full((n_groups, GXn, HYn), n2d, np.int32)
-    pn = space.patch_nodes                   # (n_patches, Yn, Xn) [y, x]
     xs = np.arange(Xn)
     ys = np.arange(Yn)
     gr = (i_of[:, None, None] * Xn + xs[None, None, :])   # (p, 1, Xn)
     gl = (j_of[:, None, None] * Yn + ys[None, :, None])   # (p, Yn, 1)
     gather[g_of[:, None, None], gr, gl] = pn   # pn[p, y, x] broadcast fill
 
-    # ---- seam compress: dense multiplicity-class gathers ---------------
-    flat_nodes = gather.reshape(-1).astype(np.int64)
-    order = np.argsort(flat_nodes, kind="stable")
-    s_nodes = flat_nodes[order]
-    # drop pad entries (node id n2d)
-    n_real = int(np.searchsorted(s_nodes, n2d))
-    s_nodes = s_nodes[:n_real]
-    s_pos = order[:n_real].astype(np.int32)
-    uniq, starts, counts = np.unique(
-        s_nodes, return_index=True, return_counts=True
-    )
-    assert len(uniq) == n2d and (uniq == np.arange(n2d)).all(), \
-        "gather table must cover every 2D node exactly once per patch"
-    compress = []
-    n0 = 0
-    while n0 < n2d:
-        K = int(counts[n0])
-        n1 = int(np.searchsorted(counts, K, side="right"))
-        idx = np.empty((n1 - n0, K), np.int32)
-        for k in range(K):
-            idx[:, k] = s_pos[starts[n0:n1] + k]
-        compress.append(jnp.asarray(idx))
-        n0 = n1
-
-    return Patch2DTables(
+    tables = Patch2DTables(
         bx_S=jnp.asarray(bxS),
         bx_D=jnp.asarray(bxD),
         bx_ST=jnp.asarray(bxS.T.copy()),
@@ -242,7 +242,64 @@ def build_patch2d_tables(op):
         jxw=jnp.asarray(jxw_t),
         h=jnp.asarray(h_t),
         gather_nodes=jnp.asarray(gather),
-        compress=tuple(compress),
+        compress=(),
+    )
+    return tables, gather.reshape(-1).astype(np.int64)
+
+
+def _build_compress(flat_nodes, n2d):
+    """Dense multiplicity-class seam-compress gathers over a flattened
+    (possibly multi-family concatenated) group-tile position space."""
+    order = np.argsort(flat_nodes, kind="stable")
+    s_nodes = flat_nodes[order]
+    # drop pad entries (node id n2d)
+    n_real = int(np.searchsorted(s_nodes, n2d))
+    s_nodes = s_nodes[:n_real]
+    s_pos = order[:n_real].astype(np.int64)
+    uniq, starts, counts = np.unique(
+        s_nodes, return_index=True, return_counts=True
+    )
+    assert len(uniq) == n2d and (uniq == np.arange(n2d)).all(), \
+        "gather tables must cover every 2D node at least once"
+    compress = []
+    n0 = 0
+    while n0 < n2d:
+        K = int(counts[n0])
+        n1 = int(np.searchsorted(counts, K, side="right"))
+        idx = np.empty((n1 - n0, K), np.int64)
+        for k in range(K):
+            idx[:, k] = s_pos[starts[n0:n1] + k]
+        compress.append(jnp.asarray(idx))
+        n0 = n1
+    return tuple(compress)
+
+
+def build_patch2d_tables(op):
+    """Host-side packing; None when the operator/space is unsupported.
+    Returns :class:`Patch2DTables` on uniform meshes and
+    :class:`Patch2DTablesAdaptive` (per-size patch families) on
+    adaptively refined ones."""
+    space = op.space
+    if not getattr(space, "patch2d", False):
+        return None
+    if op.theta != 1.0 or op.dtype != jnp.float32:
+        return None
+    if os.environ.get("NS_PATCH2D", "1") == "0":
+        return None
+
+    C = space.dim + 1
+    fams = _families_of(space)
+    built = [_family_tables(space, fam, C) for fam in fams]
+    if len(built) == 1:
+        tables, flat = built[0]
+        return tables._replace(compress=_build_compress(flat, space.n2d))
+    # apply() concatenates the family flats in family order, so the
+    # index into the concatenation IS the global position — the same
+    # class builder covers the multi-family case directly
+    flat_all = np.concatenate([flat for _, flat in built])
+    return Patch2DTablesAdaptive(
+        fams=tuple(t for t, _ in built),
+        compress=_build_compress(flat_all, space.n2d),
     )
 
 
@@ -387,19 +444,33 @@ class Patch2DSweep:
         self.d = space.dim
         self.P = P = space.degree
         self.NQ = space.n_q1d
-        self.mx = self.my = space.patch_cells
-        self.Xn = self.Yn = P * self.mx + 1
         self.n2d = space.n2d
-        self.n_patches = space.n_patches
-        self.G, self.H = _pick_GH(
-            self.n_patches, self.Xn, self.Yn, self.NQ, self.mx, self.my,
-            self.C,
-        )
-        self.n_groups = -(-self.n_patches // (self.G * self.H))
-        self.GXn = self.G * self.Xn
-        self.HYn = self.H * self.Yn
-        self.RGx = self.G * self.NQ * self.mx
-        self.LHy = self.H * self.NQ * self.my
+        # per-family static dims (one family on uniform meshes)
+        self.fdims = []
+        for fam in _families_of(space):
+            mx = fam["m"]
+            Xn = P * mx + 1
+            n_patches = fam.get(
+                "n_patches", 0
+            ) or fam["patch_nodes"].shape[0]
+            G, H = _pick_GH(n_patches, Xn, Xn, self.NQ, mx, mx, self.C)
+            self.fdims.append(dict(
+                mx=mx, my=mx, Xn=Xn, Yn=Xn, G=G, H=H,
+                n_patches=n_patches,
+                n_groups=-(-n_patches // (G * H)),
+                GXn=G * Xn, HYn=H * Xn,
+                RGx=G * self.NQ * mx, LHy=H * self.NQ * mx,
+            ))
+        self.multi = len(self.fdims) > 1
+        if not self.multi:
+            fd = self.fdims[0]
+            self.mx = self.my = fd["mx"]
+            self.Xn = self.Yn = fd["Xn"]
+            self.n_patches = fd["n_patches"]
+            self.G, self.H = fd["G"], fd["H"]
+            self.n_groups = fd["n_groups"]
+            self.GXn, self.HYn = fd["GXn"], fd["HYn"]
+            self.RGx, self.LHy = fd["RGx"], fd["LHy"]
         self.consider_dt = op.consider_time_derivative
         self.cell_wise = op.cell_wise_stabilization
         self.nu = op.nu
@@ -412,25 +483,29 @@ class Patch2DSweep:
         self.prec_mode = prec_mode
         self._calls = {}
 
-    def gather(self, tables: Patch2DTables, v):
-        """(lead, n2d) -> (lead, n_groups, GXn, HYn); pads read zero."""
+    def gather(self, tables, v):
+        """(lead, n2d) -> (lead, n_groups, GXn, HYn) per family (a bare
+        tensor on uniform meshes, a tuple on adaptive ones); pads read
+        zero."""
         lead = v.shape[0]
         vz = jnp.concatenate(
             [v, jnp.zeros((lead, 1), v.dtype)], axis=1
         )
+        if isinstance(tables, Patch2DTablesAdaptive):
+            return tuple(vz[:, t.gather_nodes] for t in tables.fams)
         return vz[:, tables.gather_nodes]
 
-    def _build_call(self, flavor):
+    def _build_call(self, flavor, fi=0):
         C, d = self.C, self.d
-        n_groups = self.n_groups
-        GXn, HYn, RGx, LHy = self.GXn, self.HYn, self.RGx, self.LHy
+        fd = self.fdims[fi]
+        n_groups = fd["n_groups"]
+        GXn, HYn, RGx, LHy = fd["GXn"], fd["HYn"], fd["RGx"], fd["LHy"]
         # the residual is the Newton rhs and convergence test: exact-f32
         # MXU passes there (same policy as ops/prism.py)
-        prec = "full" if (flavor == "residual"
-                          and self.prec_mode == "3x") else self.prec_mode
+        prec = "full" if flavor == "residual" else self.prec_mode
         kernel = _make_patch2d_kernel(
-            dict(NQ=self.NQ, mx=self.mx, my=self.my, G=self.G, H=self.H,
-                 C=C),
+            dict(NQ=self.NQ, mx=fd["mx"], my=fd["my"], G=fd["G"],
+                 H=fd["H"], C=C),
             flavor, self.consider_dt, self.cell_wise, prec,
         )
         need_lin_grads = flavor == "increment"
@@ -473,30 +548,43 @@ class Patch2DSweep:
             interpret=self.interpret,
         )
 
-    def call(self, flavor):
-        if flavor not in self._calls:
-            self._calls[flavor] = self._build_call(flavor)
-        return self._calls[flavor]
+    def call(self, flavor, fi=0):
+        if (flavor, fi) not in self._calls:
+            self._calls[(flavor, fi)] = self._build_call(flavor, fi)
+        return self._calls[(flavor, fi)]
 
     # ------------------------------------------------------------------
-    def apply(self, tables: Patch2DTables, weight, stau, uP, ulP, voP,
-              flavor: str):
+    def apply(self, tables, weight, stau, uP, ulP, voP, flavor: str):
         """uP/ulP/voP: (lead, n_groups, GXn, HYn) patch-group tensors
-        (from ``gather``).  Returns (C, n2d)."""
+        (from ``gather``; per-family tuples on adaptive meshes).
+        Returns (C, n2d)."""
         scal = jnp.stack(
             [weight.astype(jnp.float32), stau.astype(jnp.float32),
              jnp.float32(self.nu), jnp.float32(self.c1),
              jnp.float32(self.c2), jnp.float32(0.0), jnp.float32(0.0),
              jnp.float32(0.0)]
         ).reshape(8, 1)
-        out = self.call(flavor)(
-            scal, tables.bx_S, tables.bx_D, tables.bx_ST, tables.bx_DT,
-            tables.by_S, tables.by_D, tables.by_ST, tables.by_DT,
-            tables.jinv, tables.jxw, tables.h, uP, ulP, voP,
-        )
-        flat = out.reshape(self.C, -1)
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((self.C, 1), flat.dtype)], axis=1
-        )
+
+        def run(fi, t, u_f, ul_f, vo_f):
+            return self.call(flavor, fi)(
+                scal, t.bx_S, t.bx_D, t.bx_ST, t.bx_DT,
+                t.by_S, t.by_D, t.by_ST, t.by_DT,
+                t.jinv, t.jxw, t.h, u_f, ul_f, vo_f,
+            )
+
+        if isinstance(tables, Patch2DTablesAdaptive):
+            flats = [
+                run(fi, t, uP[fi], ulP[fi], voP[fi]).reshape(self.C, -1)
+                for fi, t in enumerate(tables.fams)
+            ]
+            flat = jnp.concatenate(
+                flats + [jnp.zeros((self.C, 1), flats[0].dtype)], axis=1
+            )
+        else:
+            out = run(0, tables, uP, ulP, voP)
+            flat = out.reshape(self.C, -1)
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((self.C, 1), flat.dtype)], axis=1
+            )
         outs = [flat[:, idx].sum(axis=2) for idx in tables.compress]
         return jnp.concatenate(outs, axis=1)          # (C, n2d)

@@ -521,8 +521,7 @@ class Patch3DSweep:
         GXn, HZn, PlY = self.GXn, self.HZn, self.PlY
         RG, LHz = self.RG, self.LHz
         n_groups, m = self.n_groups, self.m
-        prec = "full" if (flavor == "residual"
-                          and self.prec_mode == "3x") else self.prec_mode
+        prec = "full" if flavor == "residual" else self.prec_mode
         kernel = _make_patch3d_kernel(
             dict(P=P, NQ=NQ, m=m, G=self.G, H=self.H, C=C),
             flavor, self.consider_dt, self.cell_wise, prec,

@@ -719,8 +719,7 @@ class PrismSweep:
         # additive residual floor (~3e-3 on impulsive-start states,
         # measured round 3), so the residual flavor pays for exact-f32
         # MXU passes while vmult stays on the fast "3x" path.
-        prec = "full" if (flavor == "residual"
-                          and self.prec_mode == "3x") else self.prec_mode
+        prec = "full" if flavor == "residual" else self.prec_mode
         kernel = _make_prism_kernel(
             dict(P=P, NQ=NQ, mx=self.mx, nz=self.nz, G=self.G, C=C),
             flavor, self.consider_dt, self.cell_wise, prec,

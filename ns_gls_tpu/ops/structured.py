@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -211,6 +213,22 @@ def _physics(d, flavor, sc, u_val, u_grad, p_val, p_grad,
     w = sc["weight"]
     nu = sc["nu"]
 
+    if os.environ.get("NS_PROF_PHYS") == "0":
+        # profiling mode: passthrough instead of the GLS q-point algebra
+        # (tools/profile_apply.py --split measures the kernel's MXU +
+        # interpolation share; the delta vs the full kernel is the VPU
+        # physics share).  Zero-weight consumers keep every operand live
+        # so XLA cannot DCE the interpolation passes being measured.
+        z = 0.0 * (d1 + d2)
+        for t in (u_star[0], (dt_old[0] if dt_old is not None else d1),
+                  (gus[0][0] if gus is not None else d1),
+                  (gps[0] if gps is not None else d1)):
+            z = z + 0.0 * t
+        val_res = [u_val[a] + z for a in range(d)] + [p_val + z]
+        grad_res = [[u_grad[a][x] for x in range(d)] for a in range(d)]
+        grad_res += [[p_grad[x] for x in range(d)]]
+        return val_res, grad_res
+
     if flavor in ("fixed", "residual"):
         residual = flavor == "residual"
         u_dt = [w * u_val[a] for a in range(d)]
@@ -313,19 +331,36 @@ def _lane_cat(tiles, w):
 
 
 def _lane_to_rows(big, nb, w):
-    """(r, nb*w) lane blocks -> (nb*r, w) row blocks (layout-preserving
+    """(r, nb*w) lane blocks -> (nb*r8, w) row blocks (layout-preserving
     tile copies; keeps wide-matmul outputs consumable by a second wide
     matmul on the other axis). Static slices + one concat — see
-    ``_lane_cat`` for why no dynamic_update_slice."""
-    return jnp.concatenate(
-        [big[:, j * w:(j + 1) * w] for j in range(nb)], axis=0
-    )
+    ``_lane_cat`` for why no dynamic_update_slice.
+
+    Each block is row-padded to r8 = ceil(r/8)*8 so every block starts
+    at a sublane-aligned offset: Mosaic refuses to concatenate tiles
+    whose SUBLANE offsets differ ("result/input offset mismatch on
+    non-concat dimension", first observed at the Turek ref-1 shapes
+    where blk = 78), and downstream row slices at non-8-multiples would
+    carry those offsets into later lane concats.  The pad rows are zero
+    and the MXU pads to 8 sublanes anyway — no extra cost."""
+    r = big.shape[0]
+    r8 = -(-r // 8) * 8
+    blocks = [big[:, j * w:(j + 1) * w] for j in range(nb)]
+    if r8 != r:
+        z = jnp.zeros((r8 - r, w), big.dtype)
+        blocks = [jnp.concatenate([b, z], axis=0) for b in blocks]
+    return jnp.concatenate(blocks, axis=0)
 
 
 def _unstack_rows(M, lead, n_pl, blk):
-    """(lead*n_pl*blk, L) row blocks -> [comp][plane] (blk, L) slices."""
+    """(lead*n_pl*blk8, L) row blocks -> [comp][plane] (blk, L) slices.
+
+    The row stride is derived from M (blocks may be sublane-padded by
+    ``_lane_to_rows``); slices start at multiples of the padded stride,
+    so they keep sublane offset 0."""
+    stride = M.shape[0] // (lead * n_pl)
     return [
-        [M[(c * n_pl + k) * blk:(c * n_pl + k + 1) * blk]
+        [M[(c * n_pl + k) * stride:(c * n_pl + k) * stride + blk]
          for k in range(n_pl)]
         for c in range(lead)
     ]
@@ -354,6 +389,62 @@ def _wide_fwd(tiles, lead, n_pl, w, l1, l2, r1, r2, grads, split, mm, blk):
         mm(split(_lane_to_rows(X2, nb, w)), r1), lead, n_pl, blk
     )
     return A, B, Cg
+
+
+def _wide_fwd_merged(tiles, lead, n_pl, w, l12, r1, r2, grads, split, mm,
+                     blk, q8):
+    """``_wide_fwd`` with the S/D band pass-pairs merged — identical
+    FLOPs, ~40% fewer MXU issues (measured: the wide kernels are
+    MXU-pass-bound, PERF.md r5):
+
+    - the two shared-LEFT passes (S and D bands) run as ONE matmul on
+      the row-stacked band ``l12 = [l1; l2]`` (rows padded to q8 so the
+      result row-split stays sublane-aligned),
+    - the two shared-RIGHT r1 applications (the (X1, X2) pair) run as
+      ONE matmul on row-stacked operands (exact — separate rows)."""
+    nb = lead * n_pl
+    Ts = split(_lane_cat(tiles, w))
+    X12 = mm(l12, Ts)                          # (2*q8, nb*w)
+    X1 = X12[0:q8]
+    if not grads:
+        RS = split(_lane_to_rows(X1, nb, w))
+        A = _unstack_rows(mm(RS, r1), lead, n_pl, blk)
+        return A, None, None
+    X2 = X12[q8:2 * q8]
+    R1 = _lane_to_rows(X1, nb, w)
+    R2 = _lane_to_rows(X2, nb, w)
+    B = _unstack_rows(mm(split(R1), r2), lead, n_pl, blk)
+    AC = mm(split(jnp.concatenate([R1, R2], axis=0)), r1)
+    half = AC.shape[0] // 2
+    A = _unstack_rows(AC[0:half], lead, n_pl, blk)
+    Cg = _unstack_rows(AC[half:2 * half], lead, n_pl, blk)
+    return A, B, Cg
+
+
+def _wide_adjoint_merged(acc_a, acc_b, acc_c, C, n_pl, w, l12T, l1T,
+                         r12T, split, mm, blk, q8):
+    """``_wide_adjoint`` with the pass-pairs merged along the
+    CONTRACTION dim — exact (the merged matmul computes the same sum):
+
+    - ``FS = l1T @ A + l2T @ B`` as ``[l1T | l2T] @ [A; B]``
+      (``l12T``, accumulator rows padded to q8),
+    - ``OUT = FSr @ r1T + FDr @ r2T`` as ``[FSr | FDr] @ [r1T; r2T]``
+      (``r12T``; the lane offset w is 128-aligned by construction)."""
+    nb2 = C * n_pl
+
+    def rawcat(acc):
+        return _pad_rows_to(_lane_cat(
+            [acc[c][k] for c in range(C) for k in range(n_pl)], w
+        ), q8)
+
+    FS = mm(l12T, split(jnp.concatenate(
+        [rawcat(acc_a), rawcat(acc_b)], axis=0
+    )))
+    FD = mm(l1T, split(rawcat(acc_c)))
+    FSr = _lane_to_rows(FS, nb2, w)
+    FDr = _lane_to_rows(FD, nb2, w)
+    OUT = mm(split(jnp.concatenate([FSr, FDr], axis=1)), r12T)
+    return _unstack_rows(OUT, C, n_pl, blk)
 
 
 def _wide_adjoint(acc_a, acc_b, acc_c, C, n_pl, w, l1T, l2T, r1T, r2T,
@@ -477,11 +568,36 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
         NxP = -(-Nx // 128) * 128
         LP = -(-L // 128) * 128
 
+        # NS_WIDE_MERGE=1: S/D pass-pairs as single stacked matmuls —
+        # measured NEGATIVE on chip (3183 vs 3290 MDoF/s, r5): the wide
+        # kernel is MXU-THROUGHPUT-bound at its K=65..128 shapes (time
+        # scales with bf16 pass count: 205/334/493 us at 1/3/6 passes),
+        # not issue-bound, so merging only adds concat copies. Kept for
+        # re-evaluation on hardware with different issue cost.
+        merge = wide and os.environ.get("NS_WIDE_MERGE", "0") == "1"
         if wide:
             bs_p = split(_pad_rows_to(bs_ref[:], NxP))     # (NxP, L)
             bd_p = split(_pad_rows_to(bd_ref[:], NxP))
             bsT_p = split(_pad_rows_to(bs_ref[:].T, LP))   # (LP, Nx)
             bdT_p = split(_pad_rows_to(bd_ref[:].T, LP))
+        if merge:
+            # merged-pass band operands (see _wide_fwd_merged /
+            # _wide_adjoint_merged): S/D row-stacked y band, lane-stacked
+            # y-band transposes, row-stacked x-band transposes
+            q8 = -(-Q // 8) * 8
+            bysd = split(jnp.concatenate(
+                [_pad_rows_to(bys_ref[:], q8),
+                 _pad_rows_to(byd_ref[:], q8)], axis=0
+            ))
+            bysT_q = split(_lane_cat([bys_ref[:].T], q8))
+            bysdT = split(jnp.concatenate(
+                [_lane_cat([bys_ref[:].T], q8),
+                 _lane_cat([byd_ref[:].T], q8)], axis=1
+            ))
+            bsdT_p = split(jnp.concatenate(
+                [_pad_rows_to(bs_ref[:].T, LP),
+                 _pad_rows_to(bd_ref[:].T, LP)], axis=0
+            ))
 
         def fwd_wide(plane_refs, lead, grads):
             """Wide-batched forward (see _wide_fwd): y band shared-left,
@@ -492,6 +608,10 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
                 plane_refs[k][c, 0] for c in range(lead)
                 for k in range(n_pl)
             ]
+            if merge and grads:
+                return _wide_fwd_merged(tiles, lead, n_pl, NxP, bysd,
+                                        bs_p, bd_p, grads, split, mm, Q,
+                                        q8)
             return _wide_fwd(tiles, lead, n_pl, NxP, bys, byd, bs_p, bd_p,
                              grads, split, mm, Q)
 
@@ -722,7 +842,12 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
 
         # adjoint folds: y overlap-add via the transposed band matmul,
         # then x via the transposed x band
-        if wide:
+        if merge:
+            all_planes = _wide_adjoint_merged(
+                accS, accDy, accDx, C, n_pl, LP, bysdT, bysT_q, bsdT_p,
+                split, mm, Yr, q8,
+            )
+        elif wide:
             all_planes = _wide_adjoint(
                 accS, accDy, accDx, C, n_pl, LP, bysT, bydT, bsT_p, bdT_p,
                 split, mm, Yr,
@@ -1181,6 +1306,7 @@ class StructuredSweep:
                  prec_mode: str | None = None):
         if prec_mode is None:
             prec_mode = getattr(op, "structured_precision", "3x")
+        prec_mode = os.environ.get("NS_STRUCT_PREC", prec_mode)
         space = op.space
         self.d = d = space.dim
         self.C = d + 1
@@ -1216,8 +1342,6 @@ class StructuredSweep:
         # a handful of lane-concatenated wide matmuls (the kernel is
         # MXU-issue-bound; see _make_kernel_3d fwd_wide). NS_WIDE=0
         # falls back to the per-(comp, plane) schedule.
-        import os
-
         self.wide = d == 3 and os.environ.get("NS_WIDE", "1") != "0"
         # qz sublane stacking (3D): one q-point physics pass on
         # (NQ*R, L) row-stacked tiles (NS_QZ_STACK=1 to enable; off by
@@ -1273,8 +1397,7 @@ class StructuredSweep:
         # Newton rhs/convergence test and runs once per iteration, so
         # bf16x3 noise there (an additive ~1e-3-scale floor on
         # large-magnitude states) costs convergence, not speed
-        prec = "full" if (flavor == "residual"
-                          and self.prec_mode == "3x") else self.prec_mode
+        prec = "full" if flavor == "residual" else self.prec_mode
         kw = ({"wide": self.wide, "qz_stack": self.qz_stack}
               if d == 3 else {})
         kernel = make(

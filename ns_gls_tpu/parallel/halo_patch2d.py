@@ -98,6 +98,10 @@ def build_halo_patch2d(op, patches_of, g2l: np.ndarray, n_loc: int):
     if getattr(op, "_p2sweep", None) is None:
         return None
     space = op.space
+    if len(getattr(space, "patch2d_families", [])) > 1:
+        # adaptive multi-family meshes: the distributed wrapper keys on
+        # the single-family layout; fall back to the general halo sweep
+        return None
     n_dev = len(patches_of)
     P = space.degree
     NQ = space.n_q1d

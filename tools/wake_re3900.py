@@ -94,7 +94,11 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
     cfg["output granularity"] = 0.0      # no VTU output, series only
     cfg["paraview prefix"] = ""
     cfg["checkpoint prefix"] = out_path + ".ckpt"
-    cfg["checkpoint granularity"] = 0.005
+    # ~12 steps/checkpoint at ref-2 dt: a failing segment near the
+    # shedding-onset wall (t ~ 0.08) otherwise re-runs minutes of steps
+    # it already converged (measured: 6 segments all reset to the same
+    # checkpoint while advancing past it in between)
+    cfg["checkpoint granularity"] = 0.001
     import jax
 
     if jax.default_backend() == "cpu":
@@ -119,19 +123,47 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
         resume = False
 
     records = list(prior)
-    for attempt in range(12):
+    last_resume_t = None
+    stuck = 0
+    for attempt in range(24):
         if resume:
             meta = json.load(open(cfg["checkpoint prefix"] + ".json"))
             resume_t = meta["t"]
             records = [r for r in records if r["t"] <= resume_t + 1e-12]
+            if last_resume_t is not None and resume_t <= last_resume_t:
+                stuck += 1
+            else:
+                stuck = 0
+                if cfg.get("nonlinear solver") == "Picard":
+                    # the Picard rung pushed past the wall — back to
+                    # Newton (quadratic where it works)
+                    print("[wake] wall cleared; restoring Newton",
+                          file=sys.stderr)
+                    cfg["nonlinear solver"] = "Newton"
+            last_resume_t = resume_t
             print(f"[wake] segment {attempt}: resume from t = {resume_t:.6g}"
-                  f" at cfl = {cfg.get('cfl')}", file=sys.stderr)
+                  f" at cfl = {cfg.get('cfl')}"
+                  f" [{cfg.get('nonlinear solver', 'Newton')}]",
+                  file=sys.stderr)
         seg, done, err = _segment(cfg, resume)
         records.extend(seg)
         json.dump({"records": records, "cfl": cfg.get("cfl")},
                   open(partial, "w"))
         if done:
             break
+        if stuck >= 2 and cfg.get("nonlinear solver") != "Picard":
+            # the onset wall: the frozen-tau quasi-Newton cycles ~1.4x
+            # ABOVE any tolerance on isolated stiff steps (measured, r5:
+            # stalls at 1.4e-5/2.7e-5/6.0e-5 for tol 1e-5/2e-5/4e-5).
+            # Picard's linearized-convection fixed point is slower but
+            # monotone — use it to step past the wall, then restore
+            # Newton (see the `stuck == 0` branch above).
+            print(f"[wake] segment aborted ({err}); wall at same t — "
+                  "switching to Picard for the next segment",
+                  file=sys.stderr)
+            cfg["nonlinear solver"] = "Picard"
+            resume = True
+            continue
         # Newton on the GLS system is only LINEARLY convergent near its
         # floor (the stabilization parameters are frozen in the Jacobian,
         # here and in the reference): near shedding onset the residual
@@ -147,8 +179,12 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
                   f"'lin relative tolerance' to {new_lt:g}",
                   file=sys.stderr)
             cfg["lin relative tolerance"] = new_lt
-        elif cfg["nonlinear tolerance"] < 0.9e-5:
-            new_tol = min(cfg["nonlinear tolerance"] * 5.0, 1e-5)
+        elif cfg["nonlinear tolerance"] < 0.9 * 4e-5:
+            # cap 4e-5 ABSOLUTE ~ 4e-8 of ||R_0|| at this inflow scale:
+            # the onset-wall plateau sits at ~1.4x whatever tolerance is
+            # set between 1e-6 and 1e-5 (measured, segments 0-5), so the
+            # ladder must clear it with margin before touching CFL
+            new_tol = min(cfg["nonlinear tolerance"] * 2.0, 4e-5)
             print(f"[wake] segment aborted ({err}); relaxing "
                   f"'nonlinear tolerance' to {new_tol:g}",
                   file=sys.stderr)
