@@ -1,5 +1,7 @@
 """Re 3900 wake validation: Strouhal number + drag coefficient of
-``input/turek_2d_re3900.json`` against the literature.
+``input/hoffmann_2d_re3900.json`` (the 2D companion of the
+reference's ``input_hoffmann_2D_Re3900.json`` — slip walls, uniform
+inflow 39) against the literature.
 
 The reference carries Kravchenko & Moin (Phys. Fluids 12(2), 2000) as
 its only quantitative target beyond Turek 2D
@@ -30,7 +32,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 D = 0.1            # cylinder diameter (grid_cylinder.h geometry)
-U_BAR = 39.0       # 2/3 * u_max(58.5): the Re = 3900 mean inflow
+U_BAR = 39.0       # the uniform free-stream inflow (u max 39.0)
 
 
 def wake_stats(t, drag, lift, t_tail):
@@ -87,7 +89,7 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
     nslog.set_verbose(False)
     cfg = json.load(
         open(os.path.join(os.path.dirname(__file__), "..",
-                          "input", "turek_2d_re3900.json"))
+                          "input", "hoffmann_2d_re3900.json"))
     )
     cfg["n global refinements"] = ref
     cfg["t final"] = t_final
@@ -205,7 +207,7 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
     t_tail = min(0.5 * (t[-1] - t[0]), max(10 * D / (0.21 * U_BAR), 0.05))
     stats = wake_stats(t, drag, lift, t_tail)
     out = {
-        "config": "input/turek_2d_re3900.json",
+        "config": "input/hoffmann_2d_re3900.json",
         "ref": ref,
         "t_final": t_final,
         "stats": stats,
