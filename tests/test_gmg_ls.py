@@ -127,3 +127,56 @@ def test_rotation_config_uses_ls():
     d.run(max_steps=2)
     assert isinstance(d.preconditioner, PreconditionerGMGLS)
     assert np.isfinite(np.asarray(d.solution.current)).all()
+
+
+def test_pressure_pin_position_is_numbering_independent():
+    """The pressure pin must land on the same physical point on the
+    fine level and on every MG level under ANY node numbering (round-5
+    regression: the index-based pin moved with the patch2d renumbering,
+    de-gauging the V-cycle from the system on the rotation config —
+    GMRES 90 -> 1590 iterations)."""
+    import os
+
+    from ns_gls_tpu.driver import Driver, pressure_pin_candidates
+
+    def pin_pos(patch):
+        env = dict(os.environ)
+        try:
+            if patch:
+                os.environ.pop("NS_PATCH2D", None)
+            else:
+                os.environ["NS_PATCH2D"] = "0"
+            p = Parameters.from_file("input/rotation.json")
+            p.t_final = 0.05
+            p.n_global_refinements = 2
+            p.output_granularity = 0.0
+            p.paraview_prefix = ""
+            d = Driver(p)
+            d.setup()
+            dim = d.space.dim
+            cand = pressure_pin_candidates(d.space)
+            assert cand.size > 0
+            fine = np.round(np.asarray(d.space.node_pos)[cand[0]], 9)
+            lvls = []
+            for lop in d.preconditioner.level_ops:
+                rows = np.asarray(lop.constraints_homogeneous.rows)
+                pn = rows[rows % (dim + 1) == dim] // (dim + 1)
+                # the level pin is the first candidate position of the
+                # level space that appears among its constrained
+                # pressure dofs
+                lc = pressure_pin_candidates(lop.space)
+                hit = [n for n in lc if n in set(pn.tolist())]
+                assert hit, "level lost its pressure pin"
+                lvls.append(
+                    np.round(np.asarray(lop.space.node_pos)[hit[0]], 9)
+                )
+            return fine, lvls
+        finally:
+            os.environ.clear()
+            os.environ.update(env)
+
+    f0, l0 = pin_pos(False)
+    f1, l1 = pin_pos(True)
+    assert (f0 == f1).all(), (f0, f1)
+    for lv in l0 + l1:
+        assert (lv == f0).all(), (lv, f0)
