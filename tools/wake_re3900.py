@@ -107,6 +107,11 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
         # reference-grade outer precision: the absolute Newton tolerance
         # sits below the f32 floor at this case's ||u|| ~ 39 inflow scale
         cfg["precision"] = "f64"
+    else:
+        # on chip: f32 outer (the config-file default "f64" would run
+        # software-emulated f64); the nl tolerance must sit above the
+        # f32 floor at this inflow scale — pass --nl-tol 1e-5
+        cfg["precision"] = "f32"
     cfg["nonlinear tolerance"] = nl_tol
     # the GLS Newton is linearly convergent near its floor (frozen
     # stabilization in the Jacobian): stiff transient steps that reach
