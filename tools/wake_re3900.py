@@ -133,6 +133,9 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
     last_resume_t = None
     stuck = 0
     for attempt in range(24):
+        if resume and not os.path.exists(
+                cfg["checkpoint prefix"] + ".json"):
+            resume = False      # aborted before the first checkpoint
         if resume:
             meta = json.load(open(cfg["checkpoint prefix"] + ".json"))
             resume_t = meta["t"]
