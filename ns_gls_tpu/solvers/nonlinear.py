@@ -120,11 +120,23 @@ class NonLinearSolverNewton(NonLinearSolverBase):
                           "accepting.")
                 break
             if l2 > tol and it > self.max_iterations:
+                if l2 <= 3e-7 * l2_0:
+                    # the ABSOLUTE tolerance sits below the f32
+                    # relative evaluation floor for this step (the
+                    # impulsive-start transient has ||R_0|| ~ 1e5+ at
+                    # inflow scales where eps_f32 * ||R_0|| > tol): no
+                    # iteration count can reach it.  3e-7 ~ 5 eps_f32
+                    # is far below any physics-relevant level — accept
+                    # (the reference never meets this case: its outer
+                    # solve is f64, ``config.h:6-7``).
+                    self._log("    [N] absolute tolerance below the f32 "
+                              "relative floor; accepting.")
+                    break
                 # only an UNCONVERGED iteration budget is a failure: the
                 # residual was just updated above, so a step whose final
                 # allowed iteration lands below tol is accepted (the
                 # reference throws only after its convergence loop
-                # exhausts, ``solver_nl.cc:82-85``)
+                # exhausts, ``solver_nl.cc:82-89``)
                 raise NonlinearSolverError(
                     f"Newton iteration did not converge; residual {l2:.3e}"
                 )

@@ -109,8 +109,13 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
         cfg["precision"] = "f64"
     else:
         # on chip: f32 outer (the config-file default "f64" would run
-        # software-emulated f64); the nl tolerance must sit above the
-        # f32 floor at this inflow scale — pass --nl-tol 1e-5
+        # software-emulated f64).  The f32 residual floor is RELATIVE
+        # (eps_f32 * ||R_0||, and ||R_0|| ~ 1e5 on the impulsive first
+        # step), so an absolute tolerance cannot span the transient —
+        # use the per-step relative criterion (--nl-tol is relative
+        # here; 1e-6 of the step residual is far below what wake
+        # statistics resolve)
+        cfg["nonlinear tolerance relative"] = True
         cfg["precision"] = "f32"
     cfg["nonlinear tolerance"] = nl_tol
     # the GLS Newton is linearly convergent near its floor (frozen
