@@ -101,6 +101,14 @@ def build_turek2d(refinements=4, degree=2, dtype=jnp.float32):
     from ns_gls_tpu.ops.time_integration import BDFIntegrator, SolutionHistory
 
     mesh = cylinder_mesh_2d().refine_global(refinements)
+    if refinements < 0:
+        # adaptive lane (--turek2d-adaptive): refine-in-wake on top of
+        # |refinements| global levels (``simulation.cc:317-326``) —
+        # mixed-depth cells, multi-family patch sweep
+        mesh = cylinder_mesh_2d().refine_global(-refinements)
+        c = mesh.vertices[mesh.cells].mean(axis=1)
+        wake = (c[:, 0] > 0.3) & (c[:, 0] < 1.2) & (np.abs(c[:, 1]) < 0.12)
+        mesh = mesh.refine(wake)
     space = FESpace(mesh, degree)
     C = 3
     ca = AffineConstraints(space.n_nodes, C).close(dtype)
@@ -253,7 +261,7 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     show_all = "--all" in sys.argv
     turek = "--turek" in sys.argv
-    turek2d = "--turek2d" in sys.argv
+    turek2d = "--turek2d" in sys.argv or "--turek2d-adaptive" in sys.argv
     sphere = "--sphere" in sys.argv
     dtype = jnp.float32
 
@@ -289,13 +297,18 @@ def main():
     if turek2d:
         import os
 
-        refinements = int(args[0]) if len(args) > 0 else 4
+        adaptive = "--turek2d-adaptive" in sys.argv
+        refinements = int(args[0]) if len(args) > 0 else (
+            -3 if adaptive else 4
+        )
         degree = int(args[1]) if len(args) > 1 else 2
         op, space, u, dt_p2 = measure_with_fallback(
             build_turek2d, refinements, degree, dtype,
             retries=(("NS_PATCH2D", "0"),),
         )
         path = "patch2d" if op._p2sweep is not None else "general"
+        if op._p2sweep is not None and getattr(op._p2sweep, "multi", False):
+            path = "patch2d-multifamily"
         # the number this lane exists to beat: the general gather sweep
         os.environ["NS_PATCH2D"] = "0"
         op_g, _, _, dt_g = measure_with_fallback(
