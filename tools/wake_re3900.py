@@ -213,6 +213,10 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
     else:
         raise RuntimeError("wake run failed to reach t_final after retries")
 
+    return _write_artifact(records, ref, t_final, out_path)
+
+
+def _write_artifact(records, ref, t_final, out_path):
     t = np.array([r["t"] for r in records])
     drag = np.array([r["drag"] for r in records])
     lift = np.array([r["lift"] for r in records])
@@ -235,6 +239,14 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
     return out
 
 
+def finalize(ref, out_path):
+    """Write the stats artifact from the .partial series of a run that
+    was cut short (kill/crash) — the statistics only need the shedding
+    tail, not the configured t_final."""
+    recs = json.load(open(out_path + ".partial"))["records"]
+    return _write_artifact(recs, ref, recs[-1]["t"], out_path)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", type=int, default=3)
@@ -246,13 +258,19 @@ if __name__ == "__main__":
     ap.add_argument("--nl-tol", type=float, default=1e-6)
     ap.add_argument("--resume", action="store_true",
                     help="continue from <out>.ckpt / <out>.partial")
+    ap.add_argument("--finalize", action="store_true",
+                    help="write the stats artifact from <out>.partial "
+                         "(a run cut short) without running anything")
     a = ap.parse_args()
-    if a.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
     out = a.out or os.path.join(
         os.path.dirname(__file__), "..", "validation",
         f"wake_re3900_ref{a.ref}.json",
     )
+    if a.finalize:
+        finalize(a.ref, out)
+        raise SystemExit(0)
+    if a.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     run(a.ref, a.t_final, out, nl_tol=a.nl_tol, cfl=a.cfl, resume=a.resume)
