@@ -153,3 +153,44 @@ def test_newton_converging_on_last_iteration_accepts():
     s2.solve_with_jacobian = lambda rhs: -0.5 * rhs
     with _pytest.raises(NonlinearSolverError):
         s2.solve(jnp.ones((4, 1)))
+
+
+def test_newton_accepts_below_f32_relative_floor():
+    """An ABSOLUTE tolerance below ~eps_f32 * ||R_0|| is unreachable at
+    any iteration count (the f32 residual-evaluation floor scales with
+    the step's initial residual — the Re3900 impulsive start floors near
+    5e-2 absolute at ||R_0|| ~ 1e5); exhausting the budget with the
+    residual already below 3e-7 * ||R_0|| must ACCEPT, not raise."""
+    import pytest as _pytest
+
+    from ns_gls_tpu.solvers.nonlinear import (
+        NonlinearSolverError,
+        NonLinearSolverNewton,
+    )
+
+    # R(u) = u, damped halving solve; start at ||R_0|| = 2e6 so after
+    # max_iterations=30 the residual is 2e6 * 0.5^30 = 1.9e-3
+    # (= 9.3e-10 of R_0, far below the 3e-7 floor bound) while the
+    # absolute tolerance 1e-7 stays unreachable
+    s = NonLinearSolverNewton(tolerance=1e-7, max_iterations=30)
+    s.setup_jacobian = lambda u: None
+    s.setup_preconditioner = lambda u: None
+    s.evaluate_residual = lambda u: u
+    s.solve_with_jacobian = lambda rhs: -0.5 * rhs
+    u = s.solve(jnp.full((4, 1), 1e6))
+    assert s.last_residual <= 3e-7 * 2e6
+
+    # the same budget exhaustion ABOVE the floor bound still raises:
+    # stop the decrease at 1e-3 of R_0 (a genuine stall)
+    s2 = NonLinearSolverNewton(tolerance=1e-7, max_iterations=30)
+    s2.setup_jacobian = lambda u: None
+    s2.setup_preconditioner = lambda u: None
+    s2.evaluate_residual = lambda u: u
+
+    def stalling(rhs):
+        n = float(jnp.linalg.norm(rhs.reshape(-1)))
+        return -0.5 * rhs if n > 1e-3 * 2e6 else 0.0 * rhs
+
+    s2.solve_with_jacobian = stalling
+    with _pytest.raises(NonlinearSolverError):
+        s2.solve(jnp.full((4, 1), 1e6))
