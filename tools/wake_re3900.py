@@ -128,16 +128,20 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
 
     partial = out_path + ".partial"
     prior = []
-    if resume and os.path.exists(partial) \
-            and os.path.exists(cfg["checkpoint prefix"] + ".json"):
-        prior = json.load(open(partial))["records"]
-    else:
+    if resume and not os.path.exists(cfg["checkpoint prefix"] + ".json"):
         resume = False
+    if resume and os.path.exists(partial):
+        # the .partial is only written at segment boundaries; a killed
+        # segment leaves a valid checkpoint with no series — resume from
+        # it anyway (the wake statistics only use the shedding TAIL, so
+        # a gap before the resume point does not invalidate them)
+        prior = json.load(open(partial))["records"]
 
     records = list(prior)
     last_resume_t = None
     stuck = 0
-    for attempt in range(24):
+    resume_t = 0.0
+    for attempt in range(240):
         if resume and not os.path.exists(
                 cfg["checkpoint prefix"] + ".json"):
             resume = False      # aborted before the first checkpoint
@@ -160,12 +164,20 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
                   f" at cfl = {cfg.get('cfl')}"
                   f" [{cfg.get('nonlinear solver', 'Newton')}]",
                   file=sys.stderr)
+        # bounded segments (0.02 time units): the series lives only in
+        # process memory during a segment, so a kill mid-segment loses
+        # it — short horizons persist the .partial regularly
+        horizon = min(resume_t + 0.02, t_final)
+        cfg["t final"] = horizon
         seg, done, err = _segment(cfg, resume)
         records.extend(seg)
         json.dump({"records": records, "cfl": cfg.get("cfl")},
                   open(partial, "w"))
         if done:
-            break
+            if horizon >= t_final:
+                break
+            resume = True
+            continue
         if stuck >= 2 and cfg.get("nonlinear solver") != "Picard":
             # the onset wall: the frozen-tau quasi-Newton cycles ~1.4x
             # ABOVE any tolerance on isolated stiff steps (measured, r5:
