@@ -178,17 +178,21 @@ def run(ref, t_final, out_path, nl_tol=1e-6, cfl=None, resume=False):
                 break
             resume = True
             continue
-        if stuck >= 2 and cfg.get("nonlinear solver") != "Picard":
+        if stuck >= 2 and stuck % 2 == 0:
             # the onset wall: the frozen-tau quasi-Newton cycles ~1.4x
             # ABOVE any tolerance on isolated stiff steps (measured, r5:
             # stalls at 1.4e-5/2.7e-5/6.0e-5 for tol 1e-5/2e-5/4e-5).
             # Picard's linearized-convection fixed point is slower but
-            # monotone — use it to step past the wall, then restore
-            # Newton (see the `stuck == 0` branch above).
+            # monotone — ALTERNATE between the two while stuck (the
+            # ladder below still advances on odd stuck counts, so each
+            # solver gets retried at every CFL rung), then restore
+            # Newton once past the wall (the `stuck == 0` branch above).
+            new_nl = ("Picard" if cfg.get("nonlinear solver") != "Picard"
+                      else "Newton")
             print(f"[wake] segment aborted ({err}); wall at same t — "
-                  "switching to Picard for the next segment",
+                  f"switching to {new_nl} for the next segment",
                   file=sys.stderr)
-            cfg["nonlinear solver"] = "Picard"
+            cfg["nonlinear solver"] = new_nl
             resume = True
             continue
         # Newton on the GLS system is only LINEARLY convergent near its
