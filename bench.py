@@ -23,7 +23,7 @@ import numpy as np
 
 
 def build(dim=3, refinements=5, degree=2, dtype=jnp.float32,
-          fuse_tables=False):
+          fuse_tables=False, increment=False):
     # cached-table mode: tables stream at full HBM bandwidth while extra
     # vector gathers cost ~4ns/row on TPU — cached wins until the pallas
     # windowed-gather kernel lands (see PERF.md)
@@ -43,11 +43,22 @@ def build(dim=3, refinements=5, degree=2, dtype=jnp.float32,
     ti = BDFIntegrator(2)
     ti.update_dt(0.1)
     ti.update_dt(0.1)
+    # the default lane applies the fixed-point-flavor operator at the
+    # exact-grade f32 precision; --increment mirrors the reference
+    # benchmark's own form (``performance.cc:22``: increment_form=true
+    # — the Newton Jacobian, every GMRES matvec of a production Newton
+    # solve) at the production Jacobian precision (driver.py NS_JAC_PREC
+    # default "2x"; the fixed-point flavor demotes "2x" to "3x")
+    import os
+
     op = NavierStokesOperator(
         space, ca, ca, nu=0.1, c_1=4.0, c_2=2.0,
         time_integrator=ti, consider_time_derivative=True,
-        increment_form=False, cell_wise_stabilization=True, dtype=dtype,
-        fuse_tables=fuse_tables,
+        increment_form=increment, cell_wise_stabilization=True,
+        dtype=dtype, fuse_tables=fuse_tables,
+        structured_precision=(
+            os.environ.get("NS_JAC_PREC", "2x") if increment else "3x"
+        ),
     )
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal((space.n_nodes, C)), dtype)
@@ -382,9 +393,10 @@ def main():
     dim = int(args[0]) if len(args) > 0 else 3
     refinements = int(args[1]) if len(args) > 1 else 5
     degree = int(args[2]) if len(args) > 2 else 2
+    increment = "--increment" in sys.argv
 
     op, space, u, dt_mf = measure_with_fallback(
-        build, dim, refinements, degree, dtype
+        build, dim, refinements, degree, dtype, False, increment
     )
     n_dofs = space.n_nodes * (dim + 1)
     mdofs = n_dofs / dt_mf / 1e6
@@ -432,15 +444,18 @@ def main():
             file=sys.stderr,
         )
 
+    form = ("increment (Jacobian, performance.cc:22 form, "
+            "production NS_JAC_PREC)" if increment else "fixed-point")
     print(
         json.dumps(
             {
-                "metric": "ns_vmult_mdof_per_s",
+                "metric": ("ns_vmult_increment_mdof_per_s" if increment
+                           else "ns_vmult_mdof_per_s"),
                 "value": round(mdofs, 2),
                 "unit": f"MDoF/s/chip (dim={dim} ref={refinements} Q{degree}, "
-                        f"{n_dofs} dofs, f32; vs_baseline = fraction of the "
-                        "ideal HBM-roofline apply — no published reference "
-                        "numbers exist, see BASELINE.md)",
+                        f"{n_dofs} dofs, f32, {form}; vs_baseline = fraction "
+                        "of the ideal HBM-roofline apply — no published "
+                        "reference numbers exist, see BASELINE.md)",
                 "vs_baseline": round(frac, 4),
             }
         )

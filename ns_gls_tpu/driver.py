@@ -234,15 +234,20 @@ class Driver:
             bid: fn for bid, fn in bcs.all_outflow_bcs_nitsche.items()
         }
 
-        # Jacobian-apply MXU precision (NS_JAC_PREC): single-pass bf16
-        # raises the raw apply 3290 -> 5359 MDoF/s but LOSES end to end
-        # — measured r5, ref-1 step at the production 2e-6 tolerance:
-        # 6.13 s/step (bf16) vs 2.54 (3x).  The 4e-3 matvec noise makes
-        # GMRES@1e-2 thrash, costing far more iterations than the
-        # cheaper passes save, so exact-f32 "3x" stays the default
-        # everywhere the operator drives a Krylov solve.  (The GMG
-        # level smoothers remain bf16 — they precondition only.)
-        jac_prec = os.environ.get("NS_JAC_PREC", "3x")
+        # Jacobian-apply MXU precision (NS_JAC_PREC).  Measured r5,
+        # 3D ref5 Q2 increment apply: "2x" (bf16x2 with bf16-rounded
+        # band operands — a FIXED, exactly-linear perturbation J~ of
+        # the Jacobian, ~2^-9 per band) runs 355 us vs 461 ("3x");
+        # GMRES sees a nearby exact-linear operator, so no iteration
+        # thrash — unlike per-entry bf16 rounding, whose ~4e-3
+        # NONLINEAR matvec noise loses end to end (6.13 s/step vs
+        # 2.54, ref-1 at the 2e-6 tolerance) despite a faster raw
+        # apply (5359 MDoF/s).  The sweeps demote "2x" to exact-grade
+        # "3x" for every flavor whose converged solution inherits
+        # operator error (Picard/linearized fixed-point, residual,
+        # rhs) — see ops/structured._mm_tools.  (GMG level smoothers
+        # remain bf16 — they precondition only.)
+        jac_prec = os.environ.get("NS_JAC_PREC", "2x")
 
         with timer("setup::operator"):
             self.op = NavierStokesOperator(

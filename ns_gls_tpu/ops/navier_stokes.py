@@ -177,6 +177,14 @@ class NavierStokesOperator:
         dtype=jnp.float64,
         fuse_tables: bool = False,
         use_structured: bool | None = None,
+        # Exact-grade f32 MXU passes by default; the production driver
+        # opts Jacobian ("increment") applies into "2x" — bf16x2 with
+        # bf16-rounded band operands, an exactly-linear fixed
+        # perturbation J~ of the Jacobian (~2^-9 per band), measured
+        # +30% on the apply (461 -> 355 us, 3D ref5 Q2) — safe there
+        # because Newton's convergence test uses the exact residual.
+        # The sweeps demote "2x" to "3x" for every solution-accuracy-
+        # bearing flavor.  See ops/structured._mm_tools, driver.py.
         structured_precision: str = "3x",
     ):
         self.space = space

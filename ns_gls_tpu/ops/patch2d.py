@@ -325,15 +325,15 @@ def _make_patch2d_kernel(dims, flavor, consider_dt, cell_wise, prec_mode):
             weight=scal_ref[0, 0], stau=scal_ref[1, 0], nu=scal_ref[2, 0],
             c1=scal_ref[3, 0], c2=scal_ref[4, 0],
         )
-        split, mm = _mm_tools(prec_mode)
-        bxS = split(bxS_ref[:])
-        bxD = split(bxD_ref[:])
-        bxST = split(bxST_ref[:])
-        bxDT = split(bxDT_ref[:])
-        byS = split(byS_ref[:])
-        byD = split(byD_ref[:])
-        byST = split(byST_ref[:])
-        byDT = split(byDT_ref[:])
+        split, mm, splitb = _mm_tools(prec_mode)
+        bxS = splitb(bxS_ref[:])
+        bxD = splitb(bxD_ref[:])
+        bxST = splitb(bxST_ref[:])
+        bxDT = splitb(bxDT_ref[:])
+        byS = splitb(byS_ref[:])
+        byD = splitb(byD_ref[:])
+        byST = splitb(byST_ref[:])
+        byDT = splitb(byDT_ref[:])
         jiE = [jinv_ref[0, k] for k in range(4)]          # (RGx, LHy)
         jxw = jxw_ref[0]
         h1 = h_ref[0, 0]
@@ -502,7 +502,14 @@ class Patch2DSweep:
         GXn, HYn, RGx, LHy = fd["GXn"], fd["HYn"], fd["RGx"], fd["LHy"]
         # the residual is the Newton rhs and convergence test: exact-f32
         # MXU passes there (same policy as ops/prism.py)
-        prec = "full" if flavor == "residual" else self.prec_mode
+        # residual: exact f32 (the Newton rhs/convergence test);
+        # increment: the requested mode ("2x" valid — a Newton Jacobian
+        # perturbation, see _mm_tools); fixed/rhs (Picard, linearized):
+        # solution accuracy inherits operator accuracy, so "2x" demotes
+        # to the exact-grade "3x" there
+        prec = ("full" if flavor == "residual"
+                else self.prec_mode if flavor == "increment"
+                else "3x" if self.prec_mode == "2x" else self.prec_mode)
         kernel = _make_patch2d_kernel(
             dict(NQ=self.NQ, mx=fd["mx"], my=fd["my"], G=fd["G"],
                  H=fd["H"], C=C),

@@ -296,15 +296,15 @@ def _make_patch3d_kernel(dims, flavor, consider_dt, cell_wise, prec_mode):
             weight=scal_ref[0, 0], stau=scal_ref[1, 0], nu=scal_ref[2, 0],
             c1=scal_ref[3, 0], c2=scal_ref[4, 0],
         )
-        split, mm = _mm_tools(prec_mode)
-        bxS = split(bxS_ref[:])
-        bxD = split(bxD_ref[:])
-        bxST = split(bxST_ref[:])
-        bxDT = split(bxDT_ref[:])
-        bzS = split(bzS_ref[:])
-        bzD = split(bzD_ref[:])
-        bzST = split(bzST_ref[:])
-        bzDT = split(bzDT_ref[:])
+        split, mm, splitb = _mm_tools(prec_mode)
+        bxS = splitb(bxS_ref[:])
+        bxD = splitb(bxD_ref[:])
+        bxST = splitb(bxST_ref[:])
+        bxDT = splitb(bxDT_ref[:])
+        bzS = splitb(bzS_ref[:])
+        bzD = splitb(bzD_ref[:])
+        bzST = splitb(bzST_ref[:])
+        bzDT = splitb(bzDT_ref[:])
         jiE = [[jinv_ref[e, qy, 0] for qy in range(NQ)]
                for e in range(9)]                         # (RG, LHz) each
         jxw2 = [jxw_ref[qy, 0] for qy in range(NQ)]
@@ -521,7 +521,14 @@ class Patch3DSweep:
         GXn, HZn, PlY = self.GXn, self.HZn, self.PlY
         RG, LHz = self.RG, self.LHz
         n_groups, m = self.n_groups, self.m
-        prec = "full" if flavor == "residual" else self.prec_mode
+        # residual: exact f32 (the Newton rhs/convergence test);
+        # increment: the requested mode ("2x" valid — a Newton Jacobian
+        # perturbation, see _mm_tools); fixed/rhs (Picard, linearized):
+        # solution accuracy inherits operator accuracy, so "2x" demotes
+        # to the exact-grade "3x" there
+        prec = ("full" if flavor == "residual"
+                else self.prec_mode if flavor == "increment"
+                else "3x" if self.prec_mode == "2x" else self.prec_mode)
         kernel = _make_patch3d_kernel(
             dict(P=P, NQ=NQ, m=m, G=self.G, H=self.H, C=C),
             flavor, self.consider_dt, self.cell_wise, prec,

@@ -369,16 +369,16 @@ def _make_prism_kernel(dims, flavor, consider_dt, cell_wise, prec_mode,
             weight=scal_ref[0, 0], stau=scal_ref[1, 0], nu=scal_ref[2, 0],
             c1=scal_ref[3, 0], c2=scal_ref[4, 0],
         )
-        split, mm = _mm_tools(prec_mode)
+        split, mm, splitb = _mm_tools(prec_mode)
         if not wide:
-            bzS = split(bzS_ref[:])
-            bzD = split(bzD_ref[:])
-            bzST = split(bzS_ref[:].T)
-            bzDT = split(bzD_ref[:].T)
-        bxS = split(bxS_ref[:])
-        bxD = split(bxD_ref[:])
-        bxST = split(bxST_ref[:])
-        bxDT = split(bxDT_ref[:])
+            bzS = splitb(bzS_ref[:])
+            bzD = splitb(bzD_ref[:])
+            bzST = splitb(bzS_ref[:].T)
+            bzDT = splitb(bzD_ref[:].T)
+        bxS = splitb(bxS_ref[:])
+        bxD = splitb(bxD_ref[:])
+        bxST = splitb(bxST_ref[:])
+        bxDT = splitb(bxDT_ref[:])
         wz = wz_ref[:]                                    # (1, L)
         jiE = [[jinv_ref[e, qy, 0] for qy in range(NQ)]
                for e in range(5)]                         # (RG, 1) each
@@ -393,10 +393,10 @@ def _make_prism_kernel(dims, flavor, consider_dt, cell_wise, prec_mode,
         LP = -(-L // 128) * 128
 
         if wide:
-            bzS_p = split(_pad_rows_to(bzS_ref[:], NznP))    # (NznP, L)
-            bzD_p = split(_pad_rows_to(bzD_ref[:], NznP))
-            bzST_p = split(_pad_rows_to(bzS_ref[:].T, LP))   # (LP, Nzn)
-            bzDT_p = split(_pad_rows_to(bzD_ref[:].T, LP))
+            bzS_p = splitb(_pad_rows_to(bzS_ref[:], NznP))   # (NznP, L)
+            bzD_p = splitb(_pad_rows_to(bzD_ref[:], NznP))
+            bzST_p = splitb(_pad_rows_to(bzS_ref[:].T, LP))  # (LP, Nzn)
+            bzDT_p = splitb(_pad_rows_to(bzD_ref[:].T, LP))
 
         def fwd_wide(plane_refs, lead, grads):
             """Wide-batched forward (see structured._wide_fwd): the
@@ -719,7 +719,14 @@ class PrismSweep:
         # additive residual floor (~3e-3 on impulsive-start states,
         # measured round 3), so the residual flavor pays for exact-f32
         # MXU passes while vmult stays on the fast "3x" path.
-        prec = "full" if flavor == "residual" else self.prec_mode
+        # residual: exact f32 (the Newton rhs/convergence test);
+        # increment: the requested mode ("2x" valid — a Newton Jacobian
+        # perturbation, see _mm_tools); fixed/rhs (Picard, linearized):
+        # solution accuracy inherits operator accuracy, so "2x" demotes
+        # to the exact-grade "3x" there
+        prec = ("full" if flavor == "residual"
+                else self.prec_mode if flavor == "increment"
+                else "3x" if self.prec_mode == "2x" else self.prec_mode)
         kernel = _make_prism_kernel(
             dict(P=P, NQ=NQ, mx=self.mx, nz=self.nz, G=self.G, C=C),
             flavor, self.consider_dt, self.cell_wise, prec,

@@ -468,20 +468,34 @@ def _wide_adjoint(acc_a, acc_b, acc_c, C, n_pl, w, l1T, l2T, r1T, r2T,
 def _mm_tools(mode: str):
     """In-kernel matmul tools at the requested accuracy/cost point.
 
-    Returns (split, mm): ``split(a)`` preprocesses an operand once (so
-    reused operands — the band matrices, each forward tensor — pay the
-    decomposition once per slab instead of once per dot), and
-    ``mm(A, B)`` contracts two preprocessed operands.
+    Returns (split, mm, splitb): ``split(a)`` preprocesses a DATA
+    operand once (so reused operands — each forward tensor — pay the
+    decomposition once per slab instead of once per dot), ``splitb(b)``
+    preprocesses a loop-invariant BAND operand (the 1D basis matrices),
+    and ``mm(A, B)`` contracts two preprocessed operands.
 
     - "full":  Precision.HIGHEST (6 bf16 MXU passes) — exact f32.
     - "3x":    manual bf16x3 decomposition (3 DEFAULT passes): bf16
       hi/lo split of both operands, dropping only the lo*lo term
       (~2^-32 relative) — f32-grade accuracy at half the passes of
       HIGHEST. The kernel is MXU-pass-bound (round-2 probe: 576 us at
-      HIGHEST vs 222 us at DEFAULT per apply), so this is the default.
+      HIGHEST vs 222 us at DEFAULT per apply).
+    - "2x":    bf16x2 with bf16-ROUNDED bands: ``splitb`` snaps the
+      band operand to its bf16 value (no lo term exists), so every dot
+      is hi_a*B + lo_a*B — 2 passes, and each product is EXACT.  The
+      applied operator is a FIXED perturbation J~ of the Jacobian
+      (||dJ||/||J|| ~ 2^-9 per band application): still exactly linear
+      in the input to f32 accumulation, so Krylov identities hold —
+      unlike per-entry bf16 rounding (NS_JAC_PREC=bf16), whose ~4e-3
+      nonlinear matvec noise measurably thrashes GMRES.  Valid ONLY for
+      the Jacobian of an outer iteration whose convergence test uses
+      the exact residual (Newton; the reference's own frozen-tau
+      Jacobian, ``operator_ns.cc:949-1182``, is a far larger
+      perturbation) — NOT for Picard/linearized solves, whose converged
+      solution inherits operator error.
     - "bf16":  one DEFAULT pass — for operators that only ever run as
       preconditioner components (GMG level smoothers)."""
-    if mode != "3x":
+    if mode not in ("3x", "2x"):
         prec = (jax.lax.Precision.HIGHEST if mode == "full"
                 else jax.lax.Precision.DEFAULT)
 
@@ -492,7 +506,7 @@ def _mm_tools(mode: str):
             return jnp.dot(a, b, preferred_element_type=jnp.float32,
                            precision=prec)
 
-        return split, mm
+        return split, mm, split
 
     def d1p(x, y):
         return jnp.dot(x, y, preferred_element_type=jnp.float32,
@@ -502,10 +516,21 @@ def _mm_tools(mode: str):
         hi = a.astype(jnp.bfloat16).astype(jnp.float32)
         return (hi, a - hi)
 
-    def mm(a, b):
-        return d1p(a[0], b[0]) + (d1p(a[1], b[0]) + d1p(a[0], b[1]))
+    if mode == "2x":
+        def splitb(b):
+            return (b.astype(jnp.bfloat16).astype(jnp.float32), None)
+    else:
+        splitb = split
 
-    return split, mm
+    def mm(a, b):
+        t = d1p(a[0], b[0])
+        if a[1] is not None:
+            t = t + d1p(a[1], b[0])
+        if b[1] is not None:
+            t = t + d1p(a[0], b[1])
+        return t
+
+    return split, mm, splitb
 
 
 # ---------------------------------------------------------------------------
@@ -549,15 +574,15 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
             weight=scal_ref[0, 0], stau=scal_ref[1, 0], nu=scal_ref[2, 0],
             c1=scal_ref[3, 0], c2=scal_ref[4, 0],
         )
-        split, mm = _mm_tools(prec_mode)
-        bs = split(bs_ref[:])
-        bd = split(bd_ref[:])
-        bys = split(bys_ref[:])
-        byd = split(byd_ref[:])
-        bsT = split(bs_ref[:].T)
-        bdT = split(bd_ref[:].T)
-        bysT = split(bys_ref[:].T)
-        bydT = split(byd_ref[:].T)
+        split, mm, splitb = _mm_tools(prec_mode)
+        bs = splitb(bs_ref[:])
+        bd = splitb(bd_ref[:])
+        bys = splitb(bys_ref[:])
+        byd = splitb(byd_ref[:])
+        bsT = splitb(bs_ref[:].T)
+        bdT = splitb(bd_ref[:].T)
+        bysT = splitb(bys_ref[:].T)
+        bydT = splitb(byd_ref[:].T)
         jinvL = [jinv_ref[r, 0] for r in range(9)]    # (NQ*ny, L)
         h1 = h_ref[0, 0]
         hq = h_ref[1, 0]
@@ -576,25 +601,25 @@ def _make_kernel_3d(dims, flavor, consider_dt, cell_wise, prec_mode,
         # re-evaluation on hardware with different issue cost.
         merge = wide and os.environ.get("NS_WIDE_MERGE", "0") == "1"
         if wide:
-            bs_p = split(_pad_rows_to(bs_ref[:], NxP))     # (NxP, L)
-            bd_p = split(_pad_rows_to(bd_ref[:], NxP))
-            bsT_p = split(_pad_rows_to(bs_ref[:].T, LP))   # (LP, Nx)
-            bdT_p = split(_pad_rows_to(bd_ref[:].T, LP))
+            bs_p = splitb(_pad_rows_to(bs_ref[:], NxP))    # (NxP, L)
+            bd_p = splitb(_pad_rows_to(bd_ref[:], NxP))
+            bsT_p = splitb(_pad_rows_to(bs_ref[:].T, LP))  # (LP, Nx)
+            bdT_p = splitb(_pad_rows_to(bd_ref[:].T, LP))
         if merge:
             # merged-pass band operands (see _wide_fwd_merged /
             # _wide_adjoint_merged): S/D row-stacked y band, lane-stacked
             # y-band transposes, row-stacked x-band transposes
             q8 = -(-Q // 8) * 8
-            bysd = split(jnp.concatenate(
+            bysd = splitb(jnp.concatenate(
                 [_pad_rows_to(bys_ref[:], q8),
                  _pad_rows_to(byd_ref[:], q8)], axis=0
             ))
-            bysT_q = split(_lane_cat([bys_ref[:].T], q8))
-            bysdT = split(jnp.concatenate(
+            bysT_q = splitb(_lane_cat([bys_ref[:].T], q8))
+            bysdT = splitb(jnp.concatenate(
                 [_lane_cat([bys_ref[:].T], q8),
                  _lane_cat([byd_ref[:].T], q8)], axis=1
             ))
-            bsdT_p = split(jnp.concatenate(
+            bsdT_p = splitb(jnp.concatenate(
                 [_pad_rows_to(bs_ref[:].T, LP),
                  _pad_rows_to(bd_ref[:].T, LP)], axis=0
             ))
@@ -923,15 +948,15 @@ def _make_kernel_3d_batched(dims, flavor, consider_dt, cell_wise,
             weight=scal_ref[0, 0], stau=scal_ref[1, 0], nu=scal_ref[2, 0],
             c1=scal_ref[3, 0], c2=scal_ref[4, 0],
         )
-        split, mm = _mm_tools(prec_mode)
-        bs = split(bs_ref[:])
-        bd = split(bd_ref[:])
-        bsT = split(bs_ref[:].T)
-        bdT = split(bd_ref[:].T)
-        bdyS = split(bdyS_ref[:])
-        bdyD = split(bdyD_ref[:])
-        bdyST = split(bdyST_ref[:])
-        bdyDT = split(bdyDT_ref[:])
+        split, mm, splitb = _mm_tools(prec_mode)
+        bs = splitb(bs_ref[:])
+        bd = splitb(bd_ref[:])
+        bsT = splitb(bs_ref[:].T)
+        bdT = splitb(bd_ref[:].T)
+        bdyS = splitb(bdyS_ref[:])
+        bdyD = splitb(bdyD_ref[:])
+        bdyST = splitb(bdyST_ref[:])
+        bdyDT = splitb(bdyDT_ref[:])
         jinvL = [jinv_ref[r, 0] for r in range(9)]    # (R, L)
         h1 = h_ref[0, 0]
         hq = h_ref[1, 0]
@@ -1137,11 +1162,11 @@ def _make_kernel_2d(dims, flavor, consider_dt, cell_wise, prec_mode):
             weight=scal_ref[0, 0], stau=scal_ref[1, 0], nu=scal_ref[2, 0],
             c1=scal_ref[3, 0], c2=scal_ref[4, 0],
         )
-        split, mm = _mm_tools(prec_mode)
-        bs = split(bs_ref[:])
-        bd = split(bd_ref[:])
-        bsT = split(bs_ref[:].T)
-        bdT = split(bd_ref[:].T)
+        split, mm, splitb = _mm_tools(prec_mode)
+        bs = splitb(bs_ref[:])
+        bd = splitb(bd_ref[:])
+        bsT = splitb(bs_ref[:].T)
+        bdT = splitb(bd_ref[:].T)
         jinvL = [jinv_ref[r, 0] for r in range(4)]
         h1 = h_ref[0, 0]
         hq = h_ref[1, 0]
@@ -1393,11 +1418,16 @@ class StructuredSweep:
         # block-diagonal FLOPs; measured SLOWER on v5e (1943 vs 2657
         # MDoF/s at ref5 Q2) — keep the per-(comp, plane) kernel
         make = _make_kernel_3d if d == 3 else _make_kernel_2d
-        # residual flavor: exact-f32 MXU passes — the residual is the
-        # Newton rhs/convergence test and runs once per iteration, so
-        # bf16x3 noise there (an additive ~1e-3-scale floor on
-        # large-magnitude states) costs convergence, not speed
-        prec = "full" if flavor == "residual" else self.prec_mode
+        # residual: exact f32 (the Newton rhs/convergence test — bf16x3
+        # noise there, an additive ~1e-3-scale floor on large-magnitude
+        # states, costs convergence, not speed);
+        # increment: the requested mode ("2x" valid — a Newton Jacobian
+        # perturbation, see _mm_tools); fixed/rhs (Picard, linearized):
+        # solution accuracy inherits operator accuracy, so "2x" demotes
+        # to the exact-grade "3x" there
+        prec = ("full" if flavor == "residual"
+                else self.prec_mode if flavor == "increment"
+                else "3x" if self.prec_mode == "2x" else self.prec_mode)
         kw = ({"wide": self.wide, "qz_stack": self.qz_stack}
               if d == 3 else {})
         kernel = make(
